@@ -1,0 +1,19 @@
+"""Evaluation: causal-graph metrics, generation quality, visualization."""
+
+from vae_connexe_tpu.evals.gc_metrics import (
+    auroc,
+    gc_accuracy,
+    gc_metrics,
+    precision_recall_f1,
+    threshold_sweep,
+    variable_usage,
+)
+
+__all__ = [
+    "auroc",
+    "gc_accuracy",
+    "gc_metrics",
+    "precision_recall_f1",
+    "threshold_sweep",
+    "variable_usage",
+]

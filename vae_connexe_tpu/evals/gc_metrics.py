@@ -1,0 +1,107 @@
+"""Causal-graph recovery metrics against synthetic ground truth.
+
+The reference scores recovered graphs three ways, all reproduced here:
+exact-match accuracy (``/root/reference/author_CRVAE.py:760``),
+precision/recall/F1 (``CRVAE.py:293-310``), and a binary-threshold sweep
+(``CR-VAE.py:437-443``).  AUROC over the continuous GC scores is the
+driver-defined parity metric (BASELINE.json) and is added here; "variable
+usage" is the reference's sparsity gauge (``author_CRVAE.py:544-545``).
+
+All functions are pure jnp and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gc_accuracy(gc_true: jax.Array, gc_est: jax.Array) -> jax.Array:
+    """Exact-match accuracy over all entries (reference convention keeps the
+    diagonal in the comparison)."""
+    return jnp.mean((gc_true > 0) == (gc_est > 0))
+
+
+def variable_usage(gc_est: jax.Array) -> jax.Array:
+    """Mean of the binary GC matrix — fraction of active edges."""
+    return jnp.mean((gc_est > 0).astype(jnp.float32))
+
+
+def precision_recall_f1(gc_true: jax.Array, gc_est: jax.Array):
+    """Edge-level precision / recall / F1 of the binarized estimate."""
+    est = gc_est > 0
+    true = gc_true > 0
+    tp = jnp.sum(est & true)
+    fp = jnp.sum(est & ~true)
+    fn = jnp.sum(~est & true)
+    precision = jnp.where(tp + fp > 0, tp / (tp + fp), 0.0)
+    recall = jnp.where(tp + fn > 0, tp / (tp + fn), 0.0)
+    denom = precision + recall
+    f1 = jnp.where(denom > 0, 2 * precision * recall / denom, 0.0)
+    return precision, recall, f1
+
+
+def auroc(gc_true: jax.Array, scores: jax.Array,
+          exclude_diagonal: bool = False) -> jax.Array:
+    """Area under the ROC curve of continuous GC scores vs binary truth.
+
+    Computed via the Mann–Whitney statistic (rank formulation with midrank
+    tie handling), which is exact and jit-friendly.  ``exclude_diagonal``
+    drops self-edges (always true in every reference system) from the
+    ranking.
+    """
+    t = (gc_true > 0).reshape(-1).astype(jnp.float32)
+    s = scores.reshape(-1).astype(jnp.float32)
+    if exclude_diagonal:
+        p = gc_true.shape[0]
+        mask = ~jnp.eye(p, dtype=bool).reshape(-1)
+        # Static-shape filtering: push diagonal entries out of both classes.
+        t = jnp.where(mask, t, jnp.nan)
+        keep = ~jnp.isnan(t)
+    else:
+        keep = jnp.ones_like(s, dtype=bool)
+
+    # Midranks: rank = (#smaller) + (#equal + 1) / 2, over kept entries only.
+    s_kept = jnp.where(keep, s, jnp.inf)
+    smaller = jnp.sum((s_kept[None, :] < s_kept[:, None]) & keep[None, :], axis=1)
+    equal = jnp.sum((s_kept[None, :] == s_kept[:, None]) & keep[None, :], axis=1)
+    ranks = smaller + (equal + 1) / 2.0
+
+    pos = jnp.where(keep, t, 0.0)
+    n_pos = jnp.sum(pos)
+    n_neg = jnp.sum(keep) - n_pos
+    rank_sum = jnp.sum(ranks * pos)
+    u = rank_sum - n_pos * (n_pos + 1) / 2.0
+    return jnp.where((n_pos > 0) & (n_neg > 0), u / (n_pos * n_neg), jnp.nan)
+
+
+def threshold_sweep(gc_true: jax.Array, scores: jax.Array,
+                    thresholds: jax.Array):
+    """Accuracy and sparsity of (scores > thr) for each threshold.
+
+    Returns (accuracies, sparsities), each shaped like ``thresholds``.
+    """
+    def one(thr):
+        est = scores > thr
+        acc = jnp.mean(est == (gc_true > 0))
+        sparsity = jnp.mean(~est)
+        return acc, sparsity
+
+    return jax.vmap(one)(thresholds)
+
+
+def gc_metrics(gc_true: jax.Array, scores: jax.Array, threshold: float = 0.0):
+    """One-call summary dict: accuracy/P/R/F1 at ``threshold`` plus AUROC
+    (full and off-diagonal) and variable usage."""
+    est = (scores > threshold).astype(jnp.int32)
+    precision, recall, f1 = precision_recall_f1(gc_true, est)
+    return {
+        "accuracy": gc_accuracy(gc_true, est),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "auroc": auroc(gc_true, scores),
+        "auroc_offdiag": auroc(gc_true, scores, exclude_diagonal=True),
+        "variable_usage": variable_usage(est),
+        "true_usage": variable_usage(gc_true),
+    }

@@ -1,0 +1,158 @@
+"""GRU recurrence, TPU-first.
+
+The reference reaches cuDNN GRU kernels through ``nn.GRU`` (e.g.
+``/root/reference/author_CRVAE.py:107-108``).  The TPU equivalent here:
+
+- The input projection ``x @ W_ih^T`` for the *whole sequence* is hoisted out
+  of the recurrence into one large MXU matmul (``(B*T, D) @ (D, 3H)``); only
+  the hidden-hidden matmul stays inside the time scan.  XLA compiles the scan
+  into a single fused loop — no per-step kernel launches.
+- The p per-variable decoder heads of the reference's ``nn.ModuleList``
+  (``author_CRVAE.py:203-204``) become a *stacked leading axis* on the
+  parameters, contracted in one batched matmul per step instead of a Python
+  loop over heads (``author_CRVAE.py:221-222``).
+- A Pallas fused kernel (``ops/pallas_gru.py``) covers the whole
+  heads×time recurrence in VMEM for the hot configs; this module is the
+  always-correct reference path and the autodiff path.
+
+Gate math matches torch ``nn.GRU`` exactly (gate order r, z, n; the reset
+gate multiplies the *hidden* candidate projection):
+
+    r = sigmoid(x W_ir^T + b_ir + h W_hr^T + b_hr)
+    z = sigmoid(x W_iz^T + b_iz + h W_hz^T + b_hz)
+    n = tanh  (x W_in^T + b_in + r * (h W_hn^T + b_hn))
+    h' = (1 - z) * n + z * h
+
+Initialization matches torch's default U(-1/sqrt(H), 1/sqrt(H)) for all GRU
+weights and biases, which keeps numerical-parity tests against golden torch
+outputs meaningful.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GRUParams:
+    """Single-layer GRU parameters, torch layout.
+
+    ``w_ih``: (3H, D_in) rows ordered [reset; update; new].
+    ``w_hh``: (3H, H).
+    ``b_ih``, ``b_hh``: (3H,).
+
+    Stacked (multi-head) variants carry one extra leading axis on every leaf,
+    e.g. ``w_ih``: (P, 3H, D_in).
+    """
+
+    w_ih: jax.Array
+    w_hh: jax.Array
+    b_ih: jax.Array
+    b_hh: jax.Array
+
+    @property
+    def hidden(self) -> int:
+        return self.w_hh.shape[-1]
+
+
+def init_gru(key: jax.Array, d_in: int, hidden: int, dtype=jnp.float32) -> GRUParams:
+    """torch-default uniform init U(-k, k), k = 1/sqrt(hidden)."""
+    k = 1.0 / jnp.sqrt(hidden)
+    ks = jax.random.split(key, 4)
+    u = lambda kk, shape: jax.random.uniform(kk, shape, dtype, -k, k)
+    return GRUParams(
+        w_ih=u(ks[0], (3 * hidden, d_in)),
+        w_hh=u(ks[1], (3 * hidden, hidden)),
+        b_ih=u(ks[2], (3 * hidden,)),
+        b_hh=u(ks[3], (3 * hidden,)),
+    )
+
+
+def init_stacked_gru(key: jax.Array, n_heads: int, d_in: int, hidden: int,
+                     dtype=jnp.float32) -> GRUParams:
+    """P independent GRUs stacked on a leading axis (the head/EP axis)."""
+    keys = jax.random.split(key, n_heads)
+    return jax.vmap(lambda kk: init_gru(kk, d_in, hidden, dtype))(keys)
+
+
+def _gates(xp: jax.Array, hp: jax.Array, h: jax.Array, hidden: int) -> jax.Array:
+    """One GRU state update from pre-projected input xp and hidden proj hp."""
+    xr, xz, xn = jnp.split(xp, 3, axis=-1)
+    hr, hz, hn = jnp.split(hp, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def gru_cell(params: GRUParams, x_t: jax.Array, h: jax.Array) -> jax.Array:
+    """Single GRU step.  x_t: (..., D_in), h: (..., H) -> h': (..., H)."""
+    xp = x_t @ params.w_ih.T + params.b_ih
+    hp = h @ params.w_hh.T + params.b_hh
+    return _gates(xp, hp, h, params.hidden)
+
+
+def gru_scan(params: GRUParams, x: jax.Array, h0: jax.Array):
+    """Full-sequence GRU.  x: (B, T, D), h0: (B, H) -> (outs (B, T, H), h_T).
+
+    The input projection runs as one MXU matmul over the flattened (B*T)
+    axis before the scan; the scan body contains only the (B, H) @ (H, 3H)
+    hidden projection plus VPU gate math.
+    """
+    xp = x @ params.w_ih.T + params.b_ih          # (B, T, 3H)
+    hidden = params.hidden
+
+    def step(h, xp_t):
+        hp = h @ params.w_hh.T + params.b_hh
+        h_new = _gates(xp_t, hp, h, hidden)
+        return h_new, h_new
+
+    h_t, outs = jax.lax.scan(step, h0, jnp.swapaxes(xp, 0, 1))
+    return jnp.swapaxes(outs, 0, 1), h_t
+
+
+def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
+    """P stacked GRUs over one shared-or-per-head input sequence.
+
+    Replaces the reference's Python loop over per-variable decoder GRUs
+    (``author_CRVAE.py:221-222``) with a single batched recurrence.
+
+    Args:
+      params: stacked ``GRUParams`` with leading axis P.
+      x: (B, T, D) shared input, or (P, B, T, D) per-head input.
+      h0: (P, B, H) initial hidden per head (broadcastable).
+
+    Returns:
+      (outs (P, B, T, H), h_T (P, B, H)).
+    """
+    if x.ndim == 3:
+        # One einsum for all heads' input projections: (B,T,D)x(P,3H,D).
+        xp = jnp.einsum("btd,pgd->pbtg", x, params.w_ih) + params.b_ih[:, None, None, :]
+    else:
+        xp = jnp.einsum("pbtd,pgd->pbtg", x, params.w_ih) + params.b_ih[:, None, None, :]
+    hidden = params.hidden
+
+    def step(h, xp_t):
+        # h: (P, B, H); xp_t: (P, B, 3H); batched matmul over the head axis.
+        hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]
+        h_new = _gates(xp_t, hp, h, hidden)
+        return h_new, h_new
+
+    h_t, outs = jax.lax.scan(step, h0, jnp.moveaxis(xp, 2, 0))  # scan over T
+    return jnp.moveaxis(outs, 0, 2), h_t
+
+
+def gru_step_heads(params: GRUParams, x_t: jax.Array, h: jax.Array) -> jax.Array:
+    """One step of P stacked GRUs (rollout inner step).
+
+    x_t: (B, D) shared across heads, or (P, B, D) per-head inputs;
+    h: (P, B, H).  Returns h': (P, B, H).
+    """
+    if x_t.ndim == 2:
+        xp = jnp.einsum("bd,pgd->pbg", x_t, params.w_ih) + params.b_ih[:, None, :]
+    else:
+        xp = jnp.einsum("pbd,pgd->pbg", x_t, params.w_ih) + params.b_ih[:, None, :]
+    hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]
+    return _gates(xp, hp, h, params.hidden)

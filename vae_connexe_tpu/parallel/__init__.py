@@ -1,0 +1,24 @@
+"""Scale-out: device meshes, batch/head sharding, multi-seed sweeps.
+
+The reference is single-process single-device (SURVEY.md §2 rows 12-14);
+this package supplies the TPU-native scaling story: ``jax.sharding.Mesh`` +
+``NamedSharding`` with XLA collectives over ICI — no hand-written comm layer.
+"""
+
+from vae_connexe_tpu.parallel.mesh import (
+    batch_sharding,
+    head_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from vae_connexe_tpu.parallel.seed_sweep import sweep_phase1
+
+__all__ = [
+    "batch_sharding",
+    "head_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "sweep_phase1",
+]

@@ -1,0 +1,67 @@
+"""Mesh construction and sharding helpers.
+
+Axes:
+
+- ``dp``  — data parallel: window/batch axis sharded across devices; the
+  loss means make gradient reduction an XLA ``psum`` inserted automatically.
+- ``ep``  — head parallel: the p per-variable decoder heads are independent
+  (an expert-parallel-like axis, SURVEY.md §2 row "Parallelism strategies")
+  and shard on the stacked head axis of the decoder parameters.
+
+At reference scale (hidden 64) tensor/pipeline parallelism has no payoff;
+the mesh plumbing here is what larger configs (p=128 long-horizon) ride on.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: int | None = None, n_ep: int = 1,
+              devices: list | None = None) -> Mesh:
+    """Build a (dp, ep) mesh.  Defaults: all devices on dp."""
+    devices = devices if devices is not None else jax.devices()
+    if n_dp is None:
+        n_dp = len(devices) // n_ep
+    dev_array = np.asarray(devices[: n_dp * n_ep]).reshape(n_dp, n_ep)
+    return Mesh(dev_array, axis_names=("dp", "ep"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch/window) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def head_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a leading stacked-head axis over ep."""
+    return NamedSharding(mesh, P("ep"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a (N, ...) array with its leading axis sharded over dp."""
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def shard_crvae_params(params, mesh: Mesh):
+    """Place CRVAE params: stacked-head leaves sharded over ep, encoder
+    replicated.  Works for any pytree whose head-stacked leaves have leading
+    dimension == p; here we place by field name for clarity."""
+    from vae_connexe_tpu.models.crvae import CRVAEParams  # local import, no cycle
+
+    ep = head_sharding(mesh)
+    rep = replicated(mesh)
+    if isinstance(params, CRVAEParams):
+        return CRVAEParams(
+            enc=jax.device_put(params.enc, rep),
+            fc_mu=jax.device_put(params.fc_mu, rep),
+            fc_std=jax.device_put(params.fc_std, rep),
+            heads=jax.device_put(params.heads, ep),
+            readout=jax.device_put(params.readout, ep),
+        )
+    return jax.device_put(params, rep)

@@ -1,0 +1,53 @@
+"""Multi-seed causal-discovery sweeps: ``vmap`` over seeds, sharded over the
+mesh — the BASELINE.json north-star sweep mode.
+
+One compiled program trains S models simultaneously: the seed axis rides dp,
+so an 8-device mesh runs 8 seeds at single-seed wall-clock.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vae_connexe_tpu.models.crvae import CRVAE
+from vae_connexe_tpu.train.config import Phase1Config
+from vae_connexe_tpu.train.crvae_trainer import Phase1State, make_phase1_step
+
+
+def sweep_phase1(model: CRVAE, windows: jax.Array, parents: jax.Array,
+                 cfg: Phase1Config, seeds: jax.Array, mesh=None):
+    """Train one phase-1 model per seed, all at once.
+
+    Args:
+      windows: (N, ctx, p) shared window set (replicated).
+      seeds: (S,) integer seeds.
+      mesh: optional Mesh; if given, the seed axis is sharded over 'dp'.
+
+    Returns dict with stacked per-seed GC scores (S, p, p) and final
+    mean_loss (S,).
+    """
+    step = make_phase1_step(model, cfg, windows, parents)
+
+    def train_one(seed):
+        key = jax.random.key(seed)
+        k_init, k_run = jax.random.split(key)
+        params = model.init(k_init)
+        state = Phase1State(params=params, prior=None, best_params=params,
+                            best_loss=jnp.array(jnp.inf), key=k_run,
+                            step=jnp.zeros([], jnp.int32))
+        state, metrics = jax.lax.scan(step, state, None, length=cfg.max_iter)
+        scores = model.gc(state.best_params, parents, threshold=False)
+        return {"gc_scores": scores,
+                "mean_loss": metrics["mean_loss"][-1],
+                "best_loss": state.best_loss}
+
+    fn = jax.vmap(train_one)
+    if mesh is not None:
+        fn = jax.jit(fn,
+                     in_shardings=NamedSharding(mesh, P("dp")),
+                     out_shardings=NamedSharding(mesh, P("dp")))
+    else:
+        fn = jax.jit(fn)
+    return fn(seeds)

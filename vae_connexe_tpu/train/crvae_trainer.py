@@ -1,0 +1,289 @@
+"""Two-phase CRVAE trainer (author variant), fully jit-compiled.
+
+Phase 1 — structure learning (``/root/reference/author_CRVAE.py:460-563``):
+manual SGD over all parameters, then a group-lasso proximal shrink on every
+head's input-weight matrix; the pruned support of those matrices is the
+learned Granger graph.  Phase 2 — generation (``author_CRVAE.py:565-701``):
+re-train with the learned connection mask frozen (λ = 0), plus an
+error-compensation VAE trained by Adam on the detached residuals.
+
+TPU-native structure:
+
+- One jitted ``step`` = forward + backward + SGD + prox + best-model
+  tracking; ``fit_*`` wraps it in ``lax.scan`` chunks of ``check_every``
+  steps, so the device runs ``check_every`` iterations per host round trip.
+- The reference's stale-gradient ordering (backward on the *previous*
+  iteration's loss, ``author_CRVAE.py:495-515``) and its phase-2 dead batch
+  resample (``author_CRVAE.py:631`` draws indices it never uses) are
+  notebook artifacts, normalized here to compute-loss-then-step with a fresh
+  (configurable) batch; parity is judged on AUROC (SURVEY.md §7).
+- Best-model early stopping (``author_CRVAE.py:547-550,561``) is a
+  ``tree_map(where(...))`` select inside the step — no host deepcopy.
+- The phase-1→phase-2 handoff stays a binary GC matrix, but instead of
+  re-instantiating heads with shrunk input widths (``author_CRVAE.py:794``)
+  the mask re-projects full-width weights each step — identical compute,
+  static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vae_connexe_tpu.losses.cs_divergence import cs_divergence_gmm
+from vae_connexe_tpu.losses.kl import kl_gaussian
+from vae_connexe_tpu.models.crvae import CRVAE, CRVAEParams
+from vae_connexe_tpu.models.error_vae import ErrorVAE, ErrorVAEParams
+from vae_connexe_tpu.models.gmm_prior import GMMPrior, init_gmm_prior
+from vae_connexe_tpu.optim.prox import prox_column_groups
+from vae_connexe_tpu.train.config import Phase1Config, Phase2Config
+
+
+@struct.dataclass
+class Phase1State:
+    params: CRVAEParams
+    prior: Optional[GMMPrior]      # present when latent_reg == 'cs'
+    best_params: CRVAEParams
+    best_loss: jax.Array
+    key: jax.Array
+    step: jax.Array
+
+
+@struct.dataclass
+class Phase2State:
+    params: CRVAEParams
+    err_params: ErrorVAEParams
+    err_opt: optax.OptState
+    prior: Optional[GMMPrior]
+    best_params: CRVAEParams
+    best_loss: jax.Array
+    key: jax.Array
+    step: jax.Array
+
+
+def _crvae_loss(model: CRVAE, cfg, params: CRVAEParams, prior: Optional[GMMPrior],
+                batch: jax.Array, key: jax.Array, parents: jax.Array,
+                beta: float):
+    """Shared smooth loss: Σ_i MSE_i + ridge + latent regularizer."""
+    pred, mu, logvar = model.forward(params, batch, key, parents)
+    target = batch[:, model.enc_len:, :]
+    # Σ over variables of each variable's MSE (``author_CRVAE.py:487``).
+    recon = jnp.sum(jnp.mean((pred - target) ** 2, axis=(0, 1)))
+    ridge = cfg.lam_ridge * (jnp.sum(params.readout.w ** 2)
+                             + jnp.sum(params.heads.w_hh ** 2))
+    if prior is None:
+        reg = beta * kl_gaussian(mu, logvar)
+    else:
+        reg = cfg.lambda_cs * cs_divergence_gmm(
+            mu, jnp.exp(logvar), prior.mu, prior.var, variant=cfg.cs_variant).mean()
+    loss = recon + ridge + reg
+    aux = {"recon": recon, "ridge": ridge, "latent_reg": reg,
+           "mean_loss": (recon + ridge) / model.p, "pred": pred}
+    return loss, aux
+
+
+def _project_and_prox(params: CRVAEParams, parents: jax.Array,
+                      lam: float, lr: float) -> CRVAEParams:
+    """Mask-project head input weights to the parent support, then group
+    soft-threshold their columns — the GISTA step (``author_CRVAE.py:311-317``).
+    With λ = 0 the prox is the identity and only the projection remains."""
+    w = params.heads.w_ih * parents[:, None, :].astype(params.heads.w_ih.dtype)
+    w = prox_column_groups(w, lam, lr)
+    return params.replace(heads=params.heads.replace(w_ih=w))
+
+
+def _track_best(state, mean_loss):
+    improved = mean_loss < state.best_loss
+    best_params = jax.tree.map(
+        lambda new, old: jnp.where(improved, new, old), state.params, state.best_params)
+    return best_params, jnp.minimum(mean_loss, state.best_loss)
+
+
+# --------------------------------------------------------------------------
+# Phase 1
+# --------------------------------------------------------------------------
+
+def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
+                     parents: jax.Array, fixed_batch: Optional[jax.Array] = None):
+    """Build the jittable phase-1 step: (Phase1State,) -> (Phase1State, metrics)."""
+
+    def step(state: Phase1State, _):
+        key, k_batch, k_z = jax.random.split(state.key, 3)
+        if fixed_batch is not None:
+            batch = fixed_batch
+        elif cfg.resample_batches:
+            idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, windows.shape[0])
+            batch = jnp.take(windows, idx, axis=0)
+        else:
+            batch = jax.lax.dynamic_slice_in_dim(windows, 0, cfg.batch_size, 0)
+
+        def loss_fn(params, prior):
+            loss, aux = _crvae_loss(model, cfg, params, prior, batch, k_z,
+                                    parents, cfg.beta)
+            return loss, aux
+
+        (loss, aux), (g_params, g_prior) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.prior)
+
+        params = jax.tree.map(lambda p, g: p - cfg.lr * g, state.params, g_params)
+        prior = (None if state.prior is None else
+                 jax.tree.map(lambda p, g: p - cfg.lr * g, state.prior, g_prior))
+        params = _project_and_prox(params, parents, cfg.lam, cfg.lr)
+
+        best_params, best_loss = _track_best(state.replace(params=params), aux["mean_loss"])
+        usage = jnp.mean((jnp.linalg.norm(params.heads.w_ih, axis=-2) > 0)
+                         .astype(jnp.float32))
+        metrics = {"loss": loss, "recon": aux["recon"], "latent_reg": aux["latent_reg"],
+                   "mean_loss": aux["mean_loss"], "variable_usage": usage}
+        new_state = Phase1State(params=params, prior=prior, best_params=best_params,
+                                best_loss=best_loss, key=key, step=state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
+               parents: jax.Array, cfg: Phase1Config, key: jax.Array,
+               verbose: bool = False, log_fn=print):
+    """Run phase 1; returns (best-restored params, final state, last metrics).
+
+    The whole ``max_iter`` loop runs as jitted scan chunks of ``check_every``
+    steps; the host sees one metrics pytree per chunk.
+    """
+    prior = None
+    if cfg.latent_reg == "cs":
+        key, k_prior = jax.random.split(key)
+        prior = init_gmm_prior(k_prior, cfg.gmm_components, model.hidden)
+
+    fixed_batch = None
+    if not cfg.resample_batches:
+        key, k_fix = jax.random.split(key)
+        idx = jax.random.randint(k_fix, (cfg.batch_size,), 0, windows.shape[0])
+        fixed_batch = jnp.take(windows, idx, axis=0)
+
+    step = make_phase1_step(model, cfg, windows, parents, fixed_batch)
+    state = Phase1State(params=params, prior=prior, best_params=params,
+                        best_loss=jnp.array(jnp.inf), key=key,
+                        step=jnp.zeros([], jnp.int32))
+
+    @jax.jit
+    def run_chunk(state):
+        return jax.lax.scan(step, state, None, length=cfg.check_every)
+
+    metrics = {}
+    n_chunks = max(1, cfg.max_iter // cfg.check_every)
+    for chunk in range(n_chunks):
+        state, chunk_metrics = run_chunk(state)
+        metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+        if verbose:
+            log_fn(f"[phase1 it={int(state.step)}] "
+                   + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+    restored = state.best_params
+    return restored, state, metrics
+
+
+# --------------------------------------------------------------------------
+# Phase 2
+# --------------------------------------------------------------------------
+
+def make_phase2_step(model: CRVAE, err_model: ErrorVAE, cfg: Phase2Config,
+                     windows: jax.Array, parents: jax.Array,
+                     err_opt: optax.GradientTransformation):
+    """Build the jittable phase-2 step.
+
+    One step = (a) SGD + mask projection on the pruned CRVAE with β = 1 KL,
+    (b) Adam on the error VAE against the stop-gradient residuals — the
+    reference's gradient firewall (``author_CRVAE.py:602``).
+    """
+
+    def step(state: Phase2State, _):
+        key, k_batch, k_z, k_e = jax.random.split(state.key, 4)
+        idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, windows.shape[0])
+        batch = jnp.take(windows, idx, axis=0)
+        target = batch[:, model.enc_len:, :]
+
+        def loss_fn(params, prior, err_params):
+            main_loss, aux = _crvae_loss(model, cfg, params, prior, batch, k_z,
+                                         parents, cfg.beta)
+            error = jax.lax.stop_gradient(target - aux["pred"])
+            err_recon, mu_e, logvar_e = err_model.forward(err_params, error, k_e)
+            loss_e = jnp.mean((err_recon - error) ** 2)
+            kl_e = kl_gaussian(mu_e, logvar_e)
+            smooth_e = loss_e + cfg.beta_error * kl_e
+            aux.update({"loss_e": smooth_e, "kl_e": kl_e})
+            # The two losses are gradient-disjoint (stop_gradient firewall),
+            # so one combined backward serves both optimizers.
+            return main_loss + smooth_e, aux
+
+        (_, aux), (g_params, g_prior, g_err) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, state.prior, state.err_params)
+
+        params = jax.tree.map(lambda p, g: p - cfg.lr * g, state.params, g_params)
+        prior = (None if state.prior is None else
+                 jax.tree.map(lambda p, g: p - cfg.lr * g, state.prior, g_prior))
+        params = _project_and_prox(params, parents, 0.0, cfg.lr)
+
+        updates, err_opt_state = err_opt.update(g_err, state.err_opt, state.err_params)
+        err_params = optax.apply_updates(state.err_params, updates)
+
+        best_params, best_loss = _track_best(state.replace(params=params), aux["mean_loss"])
+        metrics = {"recon": aux["recon"], "latent_reg": aux["latent_reg"],
+                   "mean_loss": aux["mean_loss"], "loss_e": aux["loss_e"],
+                   "kl_e": aux["kl_e"]}
+        new_state = Phase2State(params=params, err_params=err_params,
+                                err_opt=err_opt_state, prior=prior,
+                                best_params=best_params, best_loss=best_loss,
+                                key=key, step=state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
+               err_params: ErrorVAEParams, windows: jax.Array,
+               parents: jax.Array, cfg: Phase2Config, key: jax.Array,
+               verbose: bool = False, log_fn=print):
+    """Run phase 2; returns (best params, err params, final state, metrics)."""
+    prior = None
+    if cfg.latent_reg == "cs":
+        key, k_prior = jax.random.split(key)
+        prior = init_gmm_prior(k_prior, cfg.gmm_components, model.hidden)
+
+    err_opt = optax.adam(cfg.lr_error)
+    step = make_phase2_step(model, err_model, cfg, windows, parents, err_opt)
+    state = Phase2State(params=params, err_params=err_params,
+                        err_opt=err_opt.init(err_params), prior=prior,
+                        best_params=params, best_loss=jnp.array(jnp.inf),
+                        key=key, step=jnp.zeros([], jnp.int32))
+
+    @jax.jit
+    def run_chunk(state):
+        return jax.lax.scan(step, state, None, length=cfg.check_every)
+
+    metrics = {}
+    n_chunks = max(1, cfg.max_iter // cfg.check_every)
+    for chunk in range(n_chunks):
+        state, chunk_metrics = run_chunk(state)
+        metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+        if verbose:
+            log_fn(f"[phase2 it={int(state.step)}] "
+                   + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+    return state.best_params, state.err_params, state, metrics
+
+
+def generate_with_compensation(model: CRVAE, err_model: ErrorVAE,
+                               params: CRVAEParams, err_params: ErrorVAEParams,
+                               key: jax.Array, batch: int,
+                               parents: Optional[jax.Array] = None) -> jax.Array:
+    """Phase-2 sampling: draw an error sequence from the error VAE and inject
+    it (scaled by ``model.noise_scale``) into the free-running rollout
+    (``author_CRVAE.py:682-684`` + ``:284-286``).  Returns (B, rollout_len, p)."""
+    k_e, k_r = jax.random.split(key)
+    noise = err_model.sample(err_params, k_e, batch, model.rollout_len)
+    return model.rollout(params, k_r, batch, noise=noise[:, : model.rollout_len],
+                         parents=parents)

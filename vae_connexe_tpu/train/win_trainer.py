@@ -1,0 +1,154 @@
+"""Two-stage trainer for the explicit-W_in CRVAE variant.
+
+Reference: ``CRVAETrainer`` (``/root/reference/CRVAE.py:153-199``) and the
+``train_phase1``/``train_phase2`` functions of ``CR-VAE.py:227-347``.
+
+Stage I — causal discovery: Adam on everything *except* W_in
+(``CRVAE.py:158-159``); W_in takes an ISTA step per batch: a plain gradient
+descent step followed by a group soft-threshold (row groups for CRVAE.py,
+element-wise L1 for CR-VAE.py — both exposed via config).
+
+Stage II — generation with error compensation: the learned support is frozen
+(hard-prune below threshold, then either exclude W_in from updates entirely
+— CRVAE.py — or keep updating it with gradients masked to the support —
+CR-VAE.py); the loss adds the error VAE's KL.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vae_connexe_tpu.losses.kl import kl_gaussian, kl_gaussian_logsigma
+from vae_connexe_tpu.models.crvae_win import WInCRVAE, WInCRVAEParams
+from vae_connexe_tpu.optim.prox import PROX_FNS
+from vae_connexe_tpu.train.config import WInTrainConfig
+
+
+@struct.dataclass
+class WInTrainState:
+    params: WInCRVAEParams
+    opt_state: optax.OptState
+    key: jax.Array
+    step: jax.Array
+
+
+class WInTrainer:
+    def __init__(self, model: WInCRVAE, cfg: WInTrainConfig):
+        self.model = model
+        self.cfg = cfg
+        self.prox = PROX_FNS[cfg.prox_groups]
+        # Adam over every leaf except w_in (``CRVAE.py:158-159``): w_in's
+        # updates are zeroed by a mask, and handled by the ISTA step instead.
+        def label(params):
+            return jax.tree.map(lambda _: "adam", params).replace(w_in="frozen")
+        self.opt = optax.multi_transform(
+            {"adam": optax.adam(cfg.lr), "frozen": optax.set_to_zero()}, label)
+        self._stage1_step = jax.jit(self._make_step(stage=1))
+        self._stage2_step = jax.jit(self._make_step(stage=2))
+
+    def init_state(self, params: WInCRVAEParams, key: jax.Array) -> WInTrainState:
+        return WInTrainState(params=params, opt_state=self.opt.init(params),
+                             key=key, step=jnp.zeros([], jnp.int32))
+
+    def _loss(self, params, x_past, x_cur, key, stage):
+        recon, mu, logsig, mu_e, logvar_e = self.model.forward(
+            params, x_past, x_cur, key, phase=stage)
+        recon_loss = jnp.mean((recon - x_cur) ** 2)
+        kl = kl_gaussian_logsigma(mu, logsig, reduction="mean")
+        loss = recon_loss + kl
+        if stage == 2:
+            loss = loss + kl_gaussian(mu_e, logvar_e) / mu_e.shape[-1]
+        return loss, {"recon": recon_loss, "kl": kl}
+
+    def _make_step(self, stage: int):
+        cfg, model = self.cfg, self.model
+
+        def step(state: WInTrainState, batch: jax.Array):
+            """batch: (B, 2τ, D) windows — first τ past, second τ current."""
+            key, k_z = jax.random.split(state.key)
+            x_past = batch[:, : model.tau, :]
+            x_cur = batch[:, model.tau: 2 * model.tau, :]
+
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                state.params, x_past, x_cur, k_z, stage)
+
+            updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            if stage == 1:
+                # ISTA on W_in: gradient step then group soft-threshold
+                # (``CRVAE.py:134-150``).
+                w_new = state.params.w_in - cfg.lr * grads.w_in
+                params = params.replace(w_in=self.prox(w_new, cfg.lam, cfg.lr))
+            elif cfg.update_w_in_stage2:
+                # Masked gradient step on the frozen support (``CR-VAE.py:341-346``).
+                support = (jnp.linalg.norm(state.params.w_in, axis=-1, keepdims=True)
+                           > cfg.prune_threshold).astype(state.params.w_in.dtype)
+                w_new = state.params.w_in - cfg.lr * grads.w_in * support
+                params = params.replace(w_in=w_new)
+            # else: W_in frozen (CRVAE.py semantics — excluded from Adam).
+
+            metrics = {"loss": loss, **aux}
+            return WInTrainState(params=params, opt_state=opt_state, key=key,
+                                 step=state.step + 1), metrics
+
+        return step
+
+    def prune(self, params: WInCRVAEParams) -> WInCRVAEParams:
+        """Stage-I → Stage-II handoff: hard-zero sub-threshold W_in entries
+        (``CR-VAE.py:305-310``)."""
+        mask = jnp.abs(params.w_in) > self.cfg.prune_threshold
+        return params.replace(w_in=params.w_in * mask.astype(params.w_in.dtype))
+
+    def step_stage1(self, state: WInTrainState, batch: jax.Array):
+        return self._stage1_step(state, batch)
+
+    def step_stage2(self, state: WInTrainState, batch: jax.Array):
+        return self._stage2_step(state, batch)
+
+    def fit(self, params: WInCRVAEParams, windows: jax.Array, key: jax.Array,
+            stage1_epochs: int | None = None, stage2_epochs: int | None = None,
+            verbose: bool = False, log_fn=print):
+        """Epoch loop over shuffled minibatches of windows (B, 2τ, D).
+
+        Each epoch is one jitted scan over the shuffled batch stack.
+        Returns (params after stage II, last metrics).
+        """
+        cfg = self.cfg
+        e1 = cfg.stage1_epochs if stage1_epochs is None else stage1_epochs
+        e2 = cfg.stage2_epochs if stage2_epochs is None else stage2_epochs
+        n = (windows.shape[0] // cfg.batch_size) * cfg.batch_size
+
+        def epoch_fn(step_fn):
+            def run(state, shuffle_key):
+                perm = jax.random.permutation(shuffle_key, windows.shape[0])[:n]
+                batches = jnp.take(windows, perm, axis=0).reshape(
+                    -1, cfg.batch_size, *windows.shape[1:])
+                return jax.lax.scan(step_fn, state, batches)
+            return jax.jit(run)
+
+        run1 = epoch_fn(self._make_step(stage=1))
+        run2 = epoch_fn(self._make_step(stage=2))
+
+        state = self.init_state(params, key)
+        metrics = {}
+        for epoch in range(e1):
+            key, k_s = jax.random.split(key)
+            state, m = run1(state, k_s)
+            metrics = {k: float(v.mean()) for k, v in m.items()}
+            if verbose and (epoch + 1) % 100 == 0:
+                log_fn(f"[stage1 epoch={epoch + 1}] "
+                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+
+        state = state.replace(params=self.prune(state.params))
+        for epoch in range(e2):
+            key, k_s = jax.random.split(key)
+            state, m = run2(state, k_s)
+            metrics = {k: float(v.mean()) for k, v in m.items()}
+            if verbose and (epoch + 1) % 100 == 0:
+                log_fn(f"[stage2 epoch={epoch + 1}] "
+                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+        return state.params, metrics
