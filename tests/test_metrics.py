@@ -1,0 +1,96 @@
+"""GC-metric tests, including AUROC parity with sklearn."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_connexe_tpu.evals import (
+    auroc,
+    gc_accuracy,
+    gc_metrics,
+    precision_recall_f1,
+    threshold_sweep,
+    variable_usage,
+)
+
+
+def test_accuracy_and_usage():
+    truth = jnp.array([[1, 0], [1, 1]])
+    est = jnp.array([[1, 1], [0, 1]])
+    assert float(gc_accuracy(truth, est)) == pytest.approx(0.5)
+    assert float(variable_usage(est)) == pytest.approx(0.75)
+
+
+def test_precision_recall_f1_hand_case():
+    truth = jnp.array([[1, 0, 0], [1, 1, 0], [0, 0, 1]])
+    est = jnp.array([[1, 1, 0], [1, 0, 0], [0, 0, 1]])
+    p, r, f1 = precision_recall_f1(truth, est)
+    assert float(p) == pytest.approx(3 / 4)
+    assert float(r) == pytest.approx(3 / 4)
+    assert float(f1) == pytest.approx(3 / 4)
+
+
+def test_precision_zero_when_no_predictions():
+    truth = jnp.array([[1, 0], [0, 1]])
+    est = jnp.zeros((2, 2), jnp.int32)
+    p, r, f1 = precision_recall_f1(truth, est)
+    assert float(p) == 0.0 and float(r) == 0.0 and float(f1) == 0.0
+
+
+def test_auroc_matches_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(0)
+    truth = (rng.uniform(size=(8, 8)) > 0.6).astype(int)
+    truth[0, 0] = 1
+    truth[1, 1] = 0
+    scores = rng.uniform(size=(8, 8)) + 0.5 * truth
+    expected = sklearn_metrics.roc_auc_score(truth.reshape(-1), scores.reshape(-1))
+    got = float(auroc(jnp.asarray(truth), jnp.asarray(scores)))
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_auroc_with_ties_matches_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    truth = np.array([[1, 0, 1], [0, 1, 0], [1, 0, 0]])
+    scores = np.array([[0.5, 0.5, 0.9], [0.1, 0.5, 0.1], [0.9, 0.2, 0.5]])
+    expected = sklearn_metrics.roc_auc_score(truth.reshape(-1), scores.reshape(-1))
+    got = float(auroc(jnp.asarray(truth), jnp.asarray(scores)))
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_auroc_excluding_diagonal():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(1)
+    truth = (rng.uniform(size=(6, 6)) > 0.5).astype(int)
+    np.fill_diagonal(truth, 1)
+    scores = rng.uniform(size=(6, 6))
+    mask = ~np.eye(6, dtype=bool)
+    expected = sklearn_metrics.roc_auc_score(truth[mask], scores[mask])
+    got = float(auroc(jnp.asarray(truth), jnp.asarray(scores), exclude_diagonal=True))
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_auroc_degenerate_single_class():
+    truth = jnp.ones((3, 3), jnp.int32)
+    scores = jnp.ones((3, 3))
+    assert np.isnan(float(auroc(truth, scores)))
+
+
+def test_threshold_sweep_shapes_and_monotone_sparsity():
+    truth = jnp.eye(4, dtype=jnp.int32)
+    scores = jnp.asarray(np.random.default_rng(2).uniform(size=(4, 4)))
+    thrs = jnp.array([0.0, 0.3, 0.6, 0.9, 1.1])
+    acc, sparsity = threshold_sweep(truth, scores, thrs)
+    assert acc.shape == (5,) and sparsity.shape == (5,)
+    assert bool(jnp.all(jnp.diff(sparsity) >= 0))   # higher thr, sparser
+    assert float(sparsity[-1]) == 1.0
+
+
+def test_gc_metrics_summary_keys():
+    truth = jnp.eye(5, dtype=jnp.int32)
+    scores = jnp.eye(5) * 0.8 + 0.01
+    m = gc_metrics(truth, scores, threshold=0.1)
+    assert set(m) == {"accuracy", "precision", "recall", "f1", "auroc",
+                      "auroc_offdiag", "variable_usage", "true_usage"}
+    assert float(m["accuracy"]) == 1.0
+    assert float(m["auroc"]) == 1.0
