@@ -1,0 +1,126 @@
+"""Command-line interface — the L6 layer the reference lacks.
+
+Subcommands:
+  run        execute a named experiment end to end (train + eval + artifacts)
+  list       show available experiments
+  sweep      vmapped multi-seed phase-1 causal-discovery sweep
+  bench      the headline throughput benchmark (same as repo-root bench.py)
+
+Examples:
+  python -m vae_connexe_tpu.cli list
+  python -m vae_connexe_tpu.cli run lorenz96_crvae --iters 500 --no-phase2
+  python -m vae_connexe_tpu.cli sweep --p 10 --seeds 8 --iters 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_list(args):
+    from vae_connexe_tpu.configs import EXPERIMENTS
+
+    for name, exp in sorted(EXPERIMENTS.items()):
+        print(f"{name:20s} family={exp.model_family:6s} dataset={exp.dataset:14s} "
+              f"p={exp.p} hidden={exp.hidden} {exp.notes}")
+
+
+def _cmd_run(args):
+    from vae_connexe_tpu.configs import run_experiment
+
+    overrides = {}
+    if args.iters is not None:
+        from vae_connexe_tpu.configs import get_experiment
+        import dataclasses
+        exp = get_experiment(args.experiment)
+        overrides["phase1"] = dataclasses.replace(exp.phase1, max_iter=args.iters)
+        overrides["phase2"] = dataclasses.replace(exp.phase2, max_iter=args.iters)
+        overrides["win"] = dataclasses.replace(
+            exp.win, stage1_epochs=max(1, args.iters // 10),
+            stage2_epochs=max(1, args.iters // 20))
+    results = run_experiment(args.experiment, seed=args.seed,
+                             out_dir=args.out_dir, overrides=overrides or None,
+                             run_phase2=not args.no_phase2,
+                             verbose=not args.quiet)
+    print(json.dumps(results, indent=2, default=str))
+
+
+def _cmd_sweep(args):
+    import jax.numpy as jnp
+
+    from vae_connexe_tpu.data import arrange_input, lorenz96, lorenz96_truth
+    from vae_connexe_tpu.evals import auroc
+    from vae_connexe_tpu.models import CRVAE
+    from vae_connexe_tpu.parallel import make_mesh, sweep_phase1
+    from vae_connexe_tpu.train import Phase1Config
+    import jax
+
+    series = lorenz96(jax.random.key(args.seed), p=args.p, t=args.t)
+    windows, _ = arrange_input(series, args.context)
+    model = CRVAE(p=args.p, hidden=args.hidden)
+    cfg = Phase1Config(lam=args.lam, lr=5e-2, max_iter=args.iters,
+                       batch_size=args.batch)
+    mesh = make_mesh() if args.mesh else None
+    seeds = jnp.arange(args.seeds)
+    out = sweep_phase1(model, windows, jnp.ones((args.p, args.p)), cfg,
+                       seeds, mesh=mesh)
+    truth = lorenz96_truth(args.p)
+    aurocs = [float(auroc(truth, out["gc_scores"][i])) for i in range(args.seeds)]
+    print(json.dumps({
+        "seeds": args.seeds,
+        "aurocs": aurocs,
+        "auroc_mean": sum(aurocs) / len(aurocs),
+        "mean_loss": [float(x) for x in out["mean_loss"]],
+    }, indent=2))
+
+
+def _cmd_bench(args):
+    import runpy
+    sys.argv = ["bench.py"] + (["--quick"] if args.quick else [])
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vae_connexe_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list experiments").set_defaults(fn=_cmd_list)
+
+    p_run = sub.add_parser("run", help="run a named experiment")
+    p_run.add_argument("experiment")
+    p_run.add_argument("--seed", type=int, default=0)
+    p_run.add_argument("--out-dir", default=None)
+    p_run.add_argument("--iters", type=int, default=None,
+                       help="override phase iteration counts (smoke runs)")
+    p_run.add_argument("--no-phase2", action="store_true")
+    p_run.add_argument("--quiet", action="store_true")
+    p_run.set_defaults(fn=_cmd_run)
+
+    p_sw = sub.add_parser("sweep", help="multi-seed causal-discovery sweep")
+    p_sw.add_argument("--p", type=int, default=10)
+    p_sw.add_argument("--t", type=int, default=2048)
+    p_sw.add_argument("--context", type=int, default=20)
+    p_sw.add_argument("--hidden", type=int, default=64)
+    p_sw.add_argument("--batch", type=int, default=256)
+    p_sw.add_argument("--lam", type=float, default=0.1)
+    p_sw.add_argument("--iters", type=int, default=1000)
+    p_sw.add_argument("--seeds", type=int, default=8)
+    p_sw.add_argument("--seed", type=int, default=0, help="data seed")
+    p_sw.add_argument("--mesh", action="store_true",
+                      help="shard the seed axis over the device mesh")
+    p_sw.set_defaults(fn=_cmd_sweep)
+
+    p_b = sub.add_parser("bench", help="headline throughput benchmark")
+    p_b.add_argument("--quick", action="store_true")
+    p_b.set_defaults(fn=_cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

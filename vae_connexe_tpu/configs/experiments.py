@@ -1,0 +1,244 @@
+"""The reference's experiment drivers, formalized.
+
+| name               | reference driver                      | system        |
+|--------------------|---------------------------------------|---------------|
+| lorenz96_crvae     | CRVAE_lorenz96.py:731-796             | Lorenz-96 p=10|
+| henon_author       | author_CRVAE.py:703-799               | 2-D Hénon     |
+| henon6d_win        | CRVAE.py:202-267                      | coupled Hénon |
+| var_crvae          | CR-VAE.py:355-453                     | VAR(1) d=5    |
+| lorenz96_crcsrae   | CR-CS-RAE.py:821-948                  | Lorenz-96 +CS |
+| vrae_demo          | VRAE.py:185-204                       | random seqs   |
+| lorenz96_scaled    | BASELINE.json configs[4] (new)        | Lorenz-96 p=40|
+
+Hyperparameters are the reference's literals (each field cites its source
+in the table rows below); ``run_experiment`` executes the full two-phase
+pipeline and returns a metrics dict, saving artifacts (GC matrix, samples)
+to ``out_dir`` — the reference's ``np.save`` contract
+(``author_CRVAE.py:695-696,787``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_connexe_tpu.train.config import Phase1Config, Phase2Config, WInTrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Experiment:
+    name: str
+    model_family: str              # 'crvae' | 'win' | 'vrae' | 'csrae'
+    dataset: str                   # 'lorenz96' | 'henon' | 'coupled_henon' | 'var' | 'random'
+    p: int = 10
+    t: int = 2048
+    context: int = 20
+    hidden: int = 64
+    latent: int = 32
+    tau: int = 10                  # W_in-variant past/current split
+    gc_threshold: float = 0.0
+    phase1: Phase1Config = Phase1Config()
+    phase2: Phase2Config = Phase2Config()
+    win: WInTrainConfig = WInTrainConfig()
+    notes: str = ""
+
+
+EXPERIMENTS: dict[str, Experiment] = {
+    # CRVAE_lorenz96.py:737-743 (p=10, T=2048), :772-774 (λ=.1, lr=5e-2,
+    # 5000 it), :458 (batch 256), :792-794 (phase 2, 10000 it).
+    "lorenz96_crvae": Experiment(
+        name="lorenz96_crvae", model_family="crvae", dataset="lorenz96",
+        p=10, t=2048, context=20, hidden=64,
+        phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=5000, batch_size=256),
+        phase2=Phase2Config(lr=5e-2, max_iter=10000, batch_size=256),
+        notes="canonical reference workload"),
+    # author_CRVAE.py:728 (1000-step 2-D Hénon), :751-753 (λ=.1, 1000 it).
+    "henon_author": Experiment(
+        name="henon_author", model_family="crvae", dataset="henon",
+        p=2, t=1000, context=20, hidden=64,
+        phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=1000, batch_size=256),
+        phase2=Phase2Config(lr=5e-2, max_iter=10000, batch_size=256)),
+    # CRVAE.py:205 (T=3000 D=6), :242-243 (H=64 Z=32 τ=10, λ=.03 lr=2e-3),
+    # :247,261 (2000 + 1000 epochs, bs=256).
+    "henon6d_win": Experiment(
+        name="henon6d_win", model_family="win", dataset="coupled_henon",
+        p=6, t=3000, context=20, hidden=64, latent=32, tau=10,
+        gc_threshold=1e-6,
+        win=WInTrainConfig(lr=2e-3, lam=0.03, prox_groups="row",
+                           batch_size=256, stage1_epochs=2000,
+                           stage2_epochs=1000)),
+    # CR-VAE.py:360-364 (D=5 H=64 Z=16 τ=10), :397 (500 seqs), :422
+    # (λ=.02, lr_prox=.01, 100 epochs), element-wise prox (:126-128).
+    "var_crvae": Experiment(
+        name="var_crvae", model_family="win", dataset="var",
+        p=5, t=30, context=20, hidden=64, latent=16, tau=10,
+        gc_threshold=0.1,
+        win=WInTrainConfig(lr=1e-3, lam=0.02, prox_groups="element",
+                           batch_size=16, stage1_epochs=100, stage2_epochs=30,
+                           update_w_in_stage2=True)),
+    # CR-CS-RAE.py:888 (λ=.5), :898-900 (2000 it), :899 (K=10, λ_cs=.1),
+    # :531 (batch 2048), :660 (phase-2 batch 1024), :944-946 (10000 it).
+    "lorenz96_crcsrae": Experiment(
+        name="lorenz96_crcsrae", model_family="crvae", dataset="lorenz96",
+        p=10, t=2048, context=20, hidden=64,
+        phase1=Phase1Config(lam=0.5, lr=5e-2, max_iter=2000, batch_size=2048,
+                            latent_reg="cs", lambda_cs=0.1, gmm_components=10),
+        phase2=Phase2Config(lr=5e-2, max_iter=10000, batch_size=1024)),
+    # VRAE.py:189-199: random (32, 20, 10) data, tanh head, β=0.5,
+    # exponential teacher-forcing decay 0.02, 100 epochs.
+    "vrae_demo": Experiment(
+        name="vrae_demo", model_family="vrae", dataset="random",
+        p=10, t=20, hidden=64, latent=32),
+    # BASELINE.json configs[4]: scaled long-horizon Lorenz-96.
+    "lorenz96_scaled": Experiment(
+        name="lorenz96_scaled", model_family="crvae", dataset="lorenz96",
+        p=40, t=4096, context=40, hidden=128,
+        phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=5000, batch_size=512),
+        phase2=Phase2Config(lr=5e-2, max_iter=5000, batch_size=512),
+        notes="long-horizon scale-out config"),
+}
+
+
+def get_experiment(name: str) -> Experiment:
+    if name not in EXPERIMENTS:
+        raise KeyError(f"unknown experiment {name!r}; "
+                       f"available: {sorted(EXPERIMENTS)}")
+    return EXPERIMENTS[name]
+
+
+def _make_dataset(exp: Experiment, key: jax.Array):
+    from vae_connexe_tpu import data as D
+
+    if exp.dataset == "lorenz96":
+        series = D.lorenz96(key, p=exp.p, t=exp.t)
+        truth = D.lorenz96_truth(exp.p)
+    elif exp.dataset == "henon":
+        series = D.henon_chain(t=exp.t)
+        truth = D.henon_truth(exp.p)
+    elif exp.dataset == "coupled_henon":
+        series = D.coupled_henon(key, t=exp.t, d=exp.p)
+        truth = D.coupled_henon_truth(exp.p)
+    elif exp.dataset == "var":
+        a = D.var_truth(exp.p)
+        series = D.var_process(key, a, n=500, t=exp.t)  # (N, t, p) stack
+        truth = (a > 0).astype(jnp.int32)
+    elif exp.dataset == "random":
+        series = jax.random.normal(key, (32, exp.t, exp.p))
+        truth = None
+    else:
+        raise ValueError(f"unknown dataset {exp.dataset!r}")
+    return series, truth
+
+
+def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
+                   overrides: Optional[dict[str, Any]] = None,
+                   run_phase2: bool = True, verbose: bool = True,
+                   log_fn=print) -> dict[str, Any]:
+    """Execute a named experiment end to end.  Returns the metrics dict."""
+    exp = get_experiment(name)
+    if overrides:
+        exp = dataclasses.replace(exp, **overrides)
+    key = jax.random.key(seed)
+    k_data, k_init, k_run, k_p2, k_gen = jax.random.split(key, 5)
+    series, truth = _make_dataset(exp, k_data)
+    out = pathlib.Path(out_dir) if out_dir else None
+    if out:
+        out.mkdir(parents=True, exist_ok=True)
+    results: dict[str, Any] = {"experiment": name, "seed": seed}
+
+    if exp.model_family == "crvae":
+        from vae_connexe_tpu.data import arrange_input
+        from vae_connexe_tpu.evals import gc_metrics
+        from vae_connexe_tpu.models import CRVAE, ErrorVAE
+        from vae_connexe_tpu.train import (fit_phase1, fit_phase2,
+                                           generate_with_compensation)
+
+        windows, _ = arrange_input(series, exp.context)
+        model = CRVAE(p=exp.p, hidden=exp.hidden)
+        params = model.init(k_init)
+        full = jnp.ones((exp.p, exp.p), jnp.float32)
+        best, state, m1 = fit_phase1(model, params, windows, full, exp.phase1,
+                                     k_run, verbose=verbose, log_fn=log_fn)
+        scores = model.gc(best, threshold=False)
+        gc_est = model.gc(best, threshold=True)
+        results["phase1"] = m1
+        if truth is not None:
+            results["gc"] = {k: float(v) for k, v in
+                             gc_metrics(truth, scores, exp.gc_threshold).items()}
+        if out:
+            np.save(out / f"GC_{name}.npy", np.asarray(gc_est))
+            np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))
+
+        if run_phase2:
+            mask = gc_est.astype(jnp.float32)
+            p2_params = model.init(jax.random.fold_in(k_init, 1))
+            err_model = ErrorVAE(d=exp.p, hidden=exp.hidden)
+            err_params = err_model.init(jax.random.fold_in(k_init, 2))
+            best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
+                                            err_params, windows, mask,
+                                            exp.phase2, k_p2, verbose=verbose,
+                                            log_fn=log_fn)
+            results["phase2"] = m2
+            gen = generate_with_compensation(model, err_model, best2, err2,
+                                             k_gen, 64, parents=mask)
+            results["generated_shape"] = list(gen.shape)
+            if out:
+                np.save(out / f"syn_{name}.npy", np.asarray(gen))
+
+    elif exp.model_family == "win":
+        from vae_connexe_tpu.data import sliding_windows
+        from vae_connexe_tpu.evals import gc_metrics
+        from vae_connexe_tpu.models import WInCRVAE
+        from vae_connexe_tpu.train import WInTrainer
+
+        if series.ndim == 2:
+            windows = sliding_windows(series, 2 * exp.tau)
+        else:   # (N, t, p) independent sequences -> clip to 2τ
+            windows = series[:, : 2 * exp.tau, :]
+        model = WInCRVAE(d=exp.p, hidden=exp.hidden, latent=exp.latent,
+                         tau=exp.tau)
+        params = model.init(k_init)
+        trainer = WInTrainer(model, exp.win)
+        params, m = trainer.fit(params, windows, k_run,
+                                verbose=verbose, log_fn=log_fn)
+        scores = model.granger_matrix(params, threshold=False)
+        results["train"] = m
+        if truth is not None:
+            results["gc"] = {k: float(v) for k, v in
+                             gc_metrics(truth, scores, exp.gc_threshold).items()}
+        gen = model.generate(params, windows[:8], k_gen, 20)
+        results["generated_shape"] = list(gen.shape)
+        if out:
+            np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))
+            np.save(out / f"syn_{name}.npy", np.asarray(gen))
+
+    elif exp.model_family == "vrae":
+        from vae_connexe_tpu.models import VRAE
+        from vae_connexe_tpu.models.vrae import exponential_teacher_forcing_schedule
+        from vae_connexe_tpu.train import fit_vrae
+
+        model = VRAE(input_dim=exp.p, hidden_dim=exp.hidden,
+                     latent_dim=exp.latent, output_activation="tanh")
+        params = model.init(k_init)
+        params, m = fit_vrae(
+            model, params, series, k_run, epochs=100, lr=1e-3, beta=0.5,
+            teacher_forcing_schedule=lambda e:
+                exponential_teacher_forcing_schedule(e, decay_rate=0.02),
+            verbose=verbose, log_fn=log_fn)
+        results["train"] = m
+        samples = model.sample(params, k_gen, 5, exp.t)
+        results["generated_shape"] = list(samples.shape)
+        if out:
+            np.save(out / f"syn_{name}.npy", np.asarray(samples))
+    else:
+        raise ValueError(f"unknown model family {exp.model_family!r}")
+
+    if out:
+        (out / f"metrics_{name}.json").write_text(json.dumps(results, indent=2))
+    return results
