@@ -8,12 +8,15 @@ from vae_connexe_tpu.evals.gc_metrics import (
     threshold_sweep,
     variable_usage,
 )
+from vae_connexe_tpu.evals.generation import moment_match, prediction_mse
 
 __all__ = [
     "auroc",
     "gc_accuracy",
     "gc_metrics",
+    "moment_match",
     "precision_recall_f1",
+    "prediction_mse",
     "threshold_sweep",
     "variable_usage",
 ]
