@@ -46,10 +46,10 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from vae_connexe_tpu.ops.dispatch import heads_recurrence
 from vae_connexe_tpu.ops.gru import (
     GRUParams,
     gru_scan,
-    gru_scan_heads,
     gru_step_heads,
     init_gru,
     init_stacked_gru,
@@ -132,7 +132,7 @@ class CRVAE:
         dec_in = jnp.concatenate(
             [jnp.zeros_like(x[:, :1]), x[:, self.enc_len:-1]], axis=1)
         h0 = jnp.broadcast_to(z, (self.p,) + z.shape)       # z is every head's h0
-        outs, _ = gru_scan_heads(heads, dec_in, h0)          # (p, B, Td, H)
+        outs, _ = heads_recurrence(heads, dec_in, h0)        # (p, B, Td, H)
         pred = jnp.einsum("pbth,poh->pbto", outs, params.readout.w) \
             + params.readout.b[:, None, None, :]
         return jnp.transpose(pred[..., 0], (1, 2, 0)), mu, logvar

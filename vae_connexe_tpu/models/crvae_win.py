@@ -39,10 +39,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from vae_connexe_tpu.models.error_vae import ErrorVAE, ErrorVAEParams
+from vae_connexe_tpu.ops.dispatch import heads_recurrence
 from vae_connexe_tpu.ops.gru import (
     GRUParams,
     gru_scan,
-    gru_scan_heads,
     gru_step_heads,
     init_gru,
     init_stacked_gru,
@@ -97,7 +97,7 @@ class WInCRVAE:
                       h0: jax.Array) -> jax.Array:
         """dec_in (B, T, D) through per-head W_in + GRU + readout -> (B, T, D)."""
         x_sel = jnp.einsum("btd,pdh->pbth", dec_in, params.w_in)
-        outs, _ = gru_scan_heads(params.heads, x_sel, h0)     # (D, B, T, H)
+        outs, _ = heads_recurrence(params.heads, x_sel, h0)   # (D, B, T, H)
         pred = jnp.einsum("pbth,poh->pbto", outs, params.readout.w) \
             + params.readout.b[:, None, None, :]
         return jnp.transpose(pred[..., 0], (1, 2, 0))
