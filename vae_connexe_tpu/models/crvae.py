@@ -107,12 +107,15 @@ class CRVAE:
         return dense(params.fc_mu, h_t), dense(params.fc_std, h_t)
 
     def forward(self, params: CRVAEParams, x: jax.Array, key: jax.Array,
-                parents: Optional[jax.Array] = None):
+                parents: Optional[jax.Array] = None,
+                deterministic: bool = False):
         """Teacher-forced reconstruction of the window's second half.
 
         Args:
           x: (B, T, p) window, T > enc_len.
           parents: optional (p, p) binary connection mask.
+          deterministic: use z = mu (no sampling) — for parity tests and
+            deterministic eval.
 
         Returns:
           (pred (B, T - enc_len, p), mu (B, H), logvar (B, H)) where
@@ -125,7 +128,10 @@ class CRVAE:
                 "predicts the remaining T - enc_len.")
         heads = params.heads if parents is None else masked_heads(params.heads, parents)
         mu, logvar = self.encode(params, x)
-        z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(key, mu.shape, mu.dtype)
+        if deterministic:
+            z = mu
+        else:
+            z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(key, mu.shape, mu.dtype)
 
         # Teacher-forced decoder input: a zero step, then the targets shifted
         # right by one (= [0, x_enc_len .. x_{T-2}]), as author_CRVAE.py:122.
