@@ -12,10 +12,12 @@ from vae_connexe_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from vae_connexe_tpu.parallel.multihost import initialize_multihost
 from vae_connexe_tpu.parallel.seed_sweep import sweep_phase1
 
 __all__ = [
     "batch_sharding",
+    "initialize_multihost",
     "head_sharding",
     "make_mesh",
     "replicated",

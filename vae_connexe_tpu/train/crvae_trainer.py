@@ -148,11 +148,14 @@ def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
 
 def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
                parents: jax.Array, cfg: Phase1Config, key: jax.Array,
-               verbose: bool = False, log_fn=print):
+               verbose: bool = False, log_fn=print, callback=None):
     """Run phase 1; returns (best-restored params, final state, last metrics).
 
     The whole ``max_iter`` loop runs as jitted scan chunks of ``check_every``
-    steps; the host sees one metrics pytree per chunk.
+    steps; the host sees one metrics pytree per chunk.  ``callback(step,
+    state, metrics)``, if given, fires once per chunk — the hook for the
+    reference's periodic eval/rollout/plot ritual
+    (``author_CRVAE.py:521-558``) without touching the hot loop.
     """
     prior = None
     if cfg.latent_reg == "cs":
@@ -182,6 +185,8 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
         if verbose:
             log_fn(f"[phase1 it={int(state.step)}] "
                    + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+        if callback is not None:
+            callback(int(state.step), state, metrics)
     restored = state.best_params
     return restored, state, metrics
 
@@ -247,8 +252,13 @@ def make_phase2_step(model: CRVAE, err_model: ErrorVAE, cfg: Phase2Config,
 def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
                err_params: ErrorVAEParams, windows: jax.Array,
                parents: jax.Array, cfg: Phase2Config, key: jax.Array,
-               verbose: bool = False, log_fn=print):
-    """Run phase 2; returns (best params, err params, final state, metrics)."""
+               verbose: bool = False, log_fn=print, callback=None):
+    """Run phase 2; returns (best params, err params, final state, metrics).
+
+    ``callback(step, state, metrics)`` fires once per chunk — use it to
+    periodically sample compensated rollouts / write PCA-t-SNE figures, as
+    the reference does every 1000 iterations (``author_CRVAE.py:688-696``).
+    """
     prior = None
     if cfg.latent_reg == "cs":
         key, k_prior = jax.random.split(key)
@@ -273,6 +283,8 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
         if verbose:
             log_fn(f"[phase2 it={int(state.step)}] "
                    + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+        if callback is not None:
+            callback(int(state.step), state, metrics)
     return state.best_params, state.err_params, state, metrics
 
 

@@ -1,6 +1,7 @@
 """Utilities: layer primitives, PRNG discipline, checkpointing, profiling, logging."""
 
 from vae_connexe_tpu.utils.checkpoint import load_gc, restore_checkpoint, save_checkpoint
+from vae_connexe_tpu.utils.debug import enable_nan_debugging, nan_debugging
 from vae_connexe_tpu.utils.layers import Dense, dense, init_dense, init_stacked_dense
 from vae_connexe_tpu.utils.metrics_log import JsonlWriter, PrintWriter
 from vae_connexe_tpu.utils.profiling import StepTimer, trace
@@ -12,7 +13,9 @@ __all__ = [
     "PrintWriter",
     "StepTimer",
     "dense",
+    "enable_nan_debugging",
     "init_dense",
+    "nan_debugging",
     "init_stacked_dense",
     "load_gc",
     "minmax_scale",
