@@ -17,8 +17,8 @@ from vae_connexe_tpu.parallel.seed_sweep import sweep_phase1
 
 __all__ = [
     "batch_sharding",
-    "initialize_multihost",
     "head_sharding",
+    "initialize_multihost",
     "make_mesh",
     "replicated",
     "shard_batch",

@@ -27,6 +27,7 @@ TPU-native structure:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -94,6 +95,14 @@ def _project_and_prox(params: CRVAEParams, parents: jax.Array,
     w = params.heads.w_ih * parents[:, None, :].astype(params.heads.w_ih.dtype)
     w = prox_column_groups(w, lam, lr)
     return params.replace(heads=params.heads.replace(w_ih=w))
+
+
+def _chunk_lengths(max_iter: int, check_every: int) -> list[int]:
+    """Split max_iter into scan-chunk lengths: full chunks of ``check_every``
+    plus one remainder chunk, so exactly ``max_iter`` steps run (the naive
+    ``max_iter // check_every`` silently rounds the budget)."""
+    full, rem = divmod(max_iter, check_every)
+    return [check_every] * full + ([rem] if rem else [])
 
 
 def _track_best(state, mean_loss):
@@ -173,14 +182,13 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
                         best_loss=jnp.array(jnp.inf), key=key,
                         step=jnp.zeros([], jnp.int32))
 
-    @jax.jit
-    def run_chunk(state):
-        return jax.lax.scan(step, state, None, length=cfg.check_every)
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run_chunk(state, length):
+        return jax.lax.scan(step, state, None, length=length)
 
     metrics = {}
-    n_chunks = max(1, cfg.max_iter // cfg.check_every)
-    for chunk in range(n_chunks):
-        state, chunk_metrics = run_chunk(state)
+    for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
+        state, chunk_metrics = run_chunk(state, length)
         metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
         if verbose:
             log_fn(f"[phase1 it={int(state.step)}] "
@@ -271,14 +279,13 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
                         best_params=params, best_loss=jnp.array(jnp.inf),
                         key=key, step=jnp.zeros([], jnp.int32))
 
-    @jax.jit
-    def run_chunk(state):
-        return jax.lax.scan(step, state, None, length=cfg.check_every)
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run_chunk(state, length):
+        return jax.lax.scan(step, state, None, length=length)
 
     metrics = {}
-    n_chunks = max(1, cfg.max_iter // cfg.check_every)
-    for chunk in range(n_chunks):
-        state, chunk_metrics = run_chunk(state)
+    for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
+        state, chunk_metrics = run_chunk(state, length)
         metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
         if verbose:
             log_fn(f"[phase2 it={int(state.step)}] "

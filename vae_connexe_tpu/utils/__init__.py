@@ -15,10 +15,10 @@ __all__ = [
     "dense",
     "enable_nan_debugging",
     "init_dense",
-    "nan_debugging",
     "init_stacked_dense",
     "load_gc",
     "minmax_scale",
+    "nan_debugging",
     "restore_checkpoint",
     "save_checkpoint",
     "standardize",
