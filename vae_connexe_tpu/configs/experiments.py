@@ -89,7 +89,11 @@ EXPERIMENTS: dict[str, Experiment] = {
         p=10, t=2048, context=20, hidden=64,
         phase1=Phase1Config(lam=0.5, lr=5e-2, max_iter=2000, batch_size=2048,
                             latent_reg="cs", lambda_cs=0.1, gmm_components=10),
-        phase2=Phase2Config(lr=5e-2, max_iter=10000, batch_size=1024)),
+        # Phase 2 keeps the CS regularizer on the main model and standard KL
+        # on the error VAE (``CR-CS-RAE.py:698-747``).
+        phase2=Phase2Config(lr=5e-2, max_iter=10000, batch_size=1024,
+                            latent_reg="cs", lambda_cs=0.1,
+                            gmm_components=10)),
     # VRAE.py:189-199: random (32, 20, 10) data, tanh head, β=0.5,
     # exponential teacher-forcing decay 0.02, 100 epochs.
     "vrae_demo": Experiment(
