@@ -69,3 +69,51 @@ def make_sharded_phase1_step(model: CRVAE, cfg: Phase1Config, mesh: Mesh,
     return jax.jit(step,
                    in_shardings=(param_shard, batch_shard, rep),
                    out_shardings=(param_shard, rep)), param_shard, batch_shard
+
+
+def make_sharded_phase2_step(model: CRVAE, err_model, cfg, mesh: Mesh,
+                             parents: jax.Array, err_opt):
+    """Explicit-batch phase-2 step over ``mesh``: pruned-CRVAE SGD + masked
+    projection (heads on ep, batch on dp) plus Adam on the replicated error
+    VAE against the stop-gradient residuals.
+
+    Returns (jitted step, crvae param sharding, batch sharding); the step's
+    signature is (params, err_params, err_opt_state, batch, key) ->
+    (params, err_params, err_opt_state, metrics).
+    """
+    import optax
+
+    from vae_connexe_tpu.losses.kl import kl_gaussian
+
+    param_shard = jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                               crvae_param_spec(),
+                               is_leaf=lambda x: isinstance(x, P))
+    batch_shard = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+
+    def step(params, err_params, err_opt_state, batch, key):
+        k_z, k_e = jax.random.split(key)
+        target = batch[:, model.enc_len:, :]
+
+        def loss_fn(prms, eprms):
+            main_loss, aux = _crvae_loss(model, cfg, prms, None, batch, k_z,
+                                         parents, cfg.beta)
+            error = jax.lax.stop_gradient(target - aux["pred"])
+            err_recon, mu_e, logvar_e = err_model.forward(eprms, error, k_e)
+            smooth_e = (jnp.mean((err_recon - error) ** 2)
+                        + cfg.beta_error * kl_gaussian(mu_e, logvar_e))
+            return main_loss + smooth_e, {"mean_loss": aux["mean_loss"],
+                                          "loss_e": smooth_e}
+
+        (_, metrics), (g_params, g_err) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, err_params)
+        params = jax.tree.map(lambda p, g: p - cfg.lr * g, params, g_params)
+        params = _project_and_prox(params, parents, 0.0, cfg.lr)
+        updates, err_opt_state = err_opt.update(g_err, err_opt_state, err_params)
+        err_params = optax.apply_updates(err_params, updates)
+        return params, err_params, err_opt_state, metrics
+
+    jitted = jax.jit(step,
+                     in_shardings=(param_shard, rep, rep, batch_shard, rep),
+                     out_shardings=(param_shard, rep, rep, rep))
+    return jitted, param_shard, batch_shard
