@@ -192,6 +192,12 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             gen = generate_with_compensation(model, err_model, best2, err2,
                                              k_gen, 64, parents=mask)
             results["generated_shape"] = list(gen.shape)
+            from vae_connexe_tpu.evals import moment_match
+            mm = moment_match(windows, gen)
+            results["generation_moment_gap"] = {
+                "mean_abs_gap": float(mm["mean_abs_gap"].mean()),
+                "std_abs_gap": float(mm["std_abs_gap"].mean()),
+            }
             if out:
                 np.save(out / f"syn_{name}.npy", np.asarray(gen))
 
