@@ -111,44 +111,52 @@ class WInTrainer:
 
     def fit(self, params: WInCRVAEParams, windows: jax.Array, key: jax.Array,
             stage1_epochs: int | None = None, stage2_epochs: int | None = None,
-            verbose: bool = False, log_fn=print):
+            epochs_per_dispatch: int = 25, verbose: bool = False, log_fn=print):
         """Epoch loop over shuffled minibatches of windows (B, 2τ, D).
 
-        Each epoch is one jitted scan over the shuffled batch stack.
-        Returns (params after stage II, last metrics).
+        Epochs run in jitted *blocks* of ``epochs_per_dispatch``: an outer
+        scan over epoch keys, an inner scan over that epoch's shuffled
+        batches — so a 2000-epoch stage costs 2000 / 25 host dispatches, not
+        2000.  Returns (params after stage II, last metrics).
         """
         cfg = self.cfg
         e1 = cfg.stage1_epochs if stage1_epochs is None else stage1_epochs
         e2 = cfg.stage2_epochs if stage2_epochs is None else stage2_epochs
         n = (windows.shape[0] // cfg.batch_size) * cfg.batch_size
 
-        def epoch_fn(step_fn):
-            def run(state, shuffle_key):
+        def block_fn(step_fn):
+            def one_epoch(state, shuffle_key):
                 perm = jax.random.permutation(shuffle_key, windows.shape[0])[:n]
                 batches = jnp.take(windows, perm, axis=0).reshape(
                     -1, cfg.batch_size, *windows.shape[1:])
-                return jax.lax.scan(step_fn, state, batches)
+                state, m = jax.lax.scan(step_fn, state, batches)
+                return state, {k: v.mean() for k, v in m.items()}
+
+            def run(state, keys):
+                return jax.lax.scan(one_epoch, state, keys)
             return jax.jit(run)
 
-        run1 = epoch_fn(self._make_step(stage=1))
-        run2 = epoch_fn(self._make_step(stage=2))
+        run1 = block_fn(self._make_step(stage=1))
+        run2 = block_fn(self._make_step(stage=2))
 
         state = self.init_state(params, key)
         metrics = {}
-        for epoch in range(e1):
-            key, k_s = jax.random.split(key)
-            state, m = run1(state, k_s)
-            metrics = {k: float(v.mean()) for k, v in m.items()}
-            if verbose and (epoch + 1) % 100 == 0:
-                log_fn(f"[stage1 epoch={epoch + 1}] "
-                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
 
+        def run_stage(run, state, key, epochs, label):
+            done = 0
+            m = {}
+            while done < epochs:
+                k = min(epochs_per_dispatch, epochs - done)
+                key, k_s = jax.random.split(key)
+                state, block_m = run(state, jax.random.split(k_s, k))
+                done += k
+                m = {name: float(v[-1]) for name, v in block_m.items()}
+                if verbose:
+                    log_fn(f"[{label} epoch={done}] "
+                           + " ".join(f"{n_}={v:.5f}" for n_, v in m.items()))
+            return state, key, m
+
+        state, key, metrics = run_stage(run1, state, key, e1, "stage1")
         state = state.replace(params=self.prune(state.params))
-        for epoch in range(e2):
-            key, k_s = jax.random.split(key)
-            state, m = run2(state, k_s)
-            metrics = {k: float(v.mean()) for k, v in m.items()}
-            if verbose and (epoch + 1) % 100 == 0:
-                log_fn(f"[stage2 epoch={epoch + 1}] "
-                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
-        return state.params, metrics
+        state, key, m2 = run_stage(run2, state, key, e2, "stage2")
+        return state.params, m2 or metrics
