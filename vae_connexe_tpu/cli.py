@@ -77,9 +77,18 @@ def _cmd_sweep(args):
 
 
 def _cmd_bench(args):
+    import pathlib
     import runpy
-    sys.argv = ["bench.py"] + (["--quick"] if args.quick else [])
-    runpy.run_path("bench.py", run_name="__main__")
+
+    import vae_connexe_tpu
+
+    bench = pathlib.Path(vae_connexe_tpu.__file__).resolve().parent.parent / "bench.py"
+    if not bench.exists():
+        sys.exit(f"bench.py not found at {bench} — run from a source checkout "
+                 "(the benchmark script lives at the repo root, not in the "
+                 "installed package)")
+    sys.argv = [str(bench)] + (["--quick"] if args.quick else [])
+    runpy.run_path(str(bench), run_name="__main__")
 
 
 def main(argv=None):

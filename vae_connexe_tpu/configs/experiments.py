@@ -79,6 +79,13 @@ EXPERIMENTS: dict[str, Experiment] = {
         name="var_crvae", model_family="win", dataset="var",
         p=5, t=30, context=20, hidden=64, latent=16, tau=10,
         gc_threshold=0.1,
+        # The reference's CR-VAE.py excludes W_in from Adam AND its
+        # "proximal" step is shrink-only (``CR-VAE.py:122-128,264-272``
+        # never applies W_in's gradient) — a notebook artifact under which
+        # W_in can only decay.  This build normalizes to a true ISTA
+        # (gradient step + shrink, SURVEY.md §7); at the reference's
+        # lr_prox=1e-2 that over-prunes, so the prox rides the Adam lr here
+        # (lr_prox stays available for parity sweeps).
         win=WInTrainConfig(lr=1e-3, lam=0.02, prox_groups="element",
                            batch_size=16, stage1_epochs=100, stage2_epochs=30,
                            update_w_in_stage2=True)),

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vae_connexe_tpu.ops.gru import GRUParams, gru_scan, init_gru
+from vae_connexe_tpu.ops.gru import GRUParams, gru_cell, gru_scan, init_gru
 from vae_connexe_tpu.utils.layers import Dense, dense, init_dense
 
 
@@ -111,14 +111,7 @@ class ErrorVAE:
 
         def step(carry, _):
             x, h = carry
-            xp = x @ params.dec.w_ih.T + params.dec.b_ih
-            hp = h @ params.dec.w_hh.T + params.dec.b_hh
-            xr, xz, xn = jnp.split(xp, 3, -1)
-            hr, hz, hn = jnp.split(hp, 3, -1)
-            r = jax.nn.sigmoid(xr + hr)
-            zg = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            h_new = (1.0 - zg) * n + zg * h
+            h_new = gru_cell(params.dec, x, h)
             x_new = dense(params.out, h_new)
             return (x_new, h_new), x_new
 

@@ -155,9 +155,10 @@ def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
         xp = jnp.einsum("pbtd,pgd->pbtg", x, params.w_ih) + params.b_ih[:, None, None, :]
     hidden = params.hidden
     t_len = xp.shape[2]
+    h0 = jnp.broadcast_to(h0, xp.shape[:2] + (hidden,))
 
     if t_len <= UNROLL_MAX_T:
-        h = jnp.broadcast_to(h0, xp.shape[:2] + (hidden,))
+        h = h0
         outs = []
         for t in range(t_len):
             hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]

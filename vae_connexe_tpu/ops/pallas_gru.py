@@ -62,17 +62,22 @@ def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, *, t_steps, hidden
 
 
 def _pick_batch_tile(b: int, t: int, hidden: int) -> int:
-    """Largest power-of-two tile (≥8 sublanes) whose VMEM working set fits."""
+    """Largest *divisor* of b whose VMEM working set fits.
+
+    Must divide b exactly — grid=(p, b // tile) covers the batch only for
+    exact divisors; a non-divisor would silently skip trailing rows."""
     budget = 10 * 1024 * 1024   # leave headroom under ~16MB VMEM
-    tile = b
-    while tile > 8:
+
+    def fits(tile: int) -> bool:
         # xp block + outs block + h + weights, f32.
         need = 4 * (t * tile * 3 * hidden + t * tile * hidden
                     + tile * hidden + 3 * hidden * hidden)
-        if need <= budget and b % tile == 0:
+        return need <= budget
+
+    for tile in range(b, 0, -1):
+        if b % tile == 0 and fits(tile):
             return tile
-        tile //= 2
-    return max(tile, 1)
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -44,31 +44,50 @@ def make_sharded_phase1_step(model: CRVAE, cfg: Phase1Config, mesh: Mesh,
     """Explicit-batch phase-1 step jitted over ``mesh``.
 
     Signature of the returned fn: (params, batch, key) -> (params, metrics)
-    with batch sharded (dp,) on its leading axis and head-stacked params
-    sharded over ep.
+    for KL configs, or (params, prior, batch, key) -> (params, prior,
+    metrics) when ``cfg.latent_reg == 'cs'`` (the replicated GMM prior
+    trains jointly, as in the single-device trainer).  Batch is sharded
+    (dp,) on its leading axis; head-stacked params shard over ep.
     """
     param_shard = jax.tree.map(lambda spec: NamedSharding(mesh, spec),
                                crvae_param_spec(),
                                is_leaf=lambda x: isinstance(x, P))
     batch_shard = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
+    with_prior = cfg.latent_reg == "cs"
 
-    def step(params: CRVAEParams, batch: jax.Array, key: jax.Array):
-        def loss_fn(prms):
-            loss, aux = _crvae_loss(model, cfg, prms, None, batch, key,
+    def update(params, prior, batch, key):
+        def loss_fn(prms, pri):
+            loss, aux = _crvae_loss(model, cfg, prms, pri, batch, key,
                                     parents, cfg.beta)
             del aux["pred"]
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        params = jax.tree.map(lambda p, g: p - cfg.lr * g, params, grads)
+        (loss, aux), (g_params, g_prior) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, prior)
+        params = jax.tree.map(lambda p, g: p - cfg.lr * g, params, g_params)
+        prior = (None if prior is None else
+                 jax.tree.map(lambda p, g: p - cfg.lr * g, prior, g_prior))
         params = _project_and_prox(params, parents, cfg.lam, cfg.lr)
-        metrics = {"loss": loss, **{k: v for k, v in aux.items()}}
-        return params, metrics
+        return params, prior, {"loss": loss, **aux}
 
-    return jax.jit(step,
-                   in_shardings=(param_shard, batch_shard, rep),
-                   out_shardings=(param_shard, rep)), param_shard, batch_shard
+    if with_prior:
+        def step_cs(params, prior, batch, key):
+            params, prior, metrics = update(params, prior, batch, key)
+            return params, prior, metrics
+
+        jitted = jax.jit(step_cs,
+                         in_shardings=(param_shard, rep, batch_shard, rep),
+                         out_shardings=(param_shard, rep, rep))
+    else:
+        def step_kl(params, batch, key):
+            params, _, metrics = update(params, None, batch, key)
+            return params, metrics
+
+        jitted = jax.jit(step_kl,
+                         in_shardings=(param_shard, batch_shard, rep),
+                         out_shardings=(param_shard, rep))
+    return jitted, param_shard, batch_shard
 
 
 def make_sharded_phase2_step(model: CRVAE, err_model, cfg, mesh: Mesh,
@@ -84,6 +103,12 @@ def make_sharded_phase2_step(model: CRVAE, err_model, cfg, mesh: Mesh,
     import optax
 
     from vae_connexe_tpu.losses.kl import kl_gaussian
+
+    if getattr(cfg, "latent_reg", "kl") == "cs":
+        raise NotImplementedError(
+            "sharded phase-2 with latent_reg='cs' is not wired yet — use the "
+            "single-device fit_phase2 (which trains the GMM prior) or "
+            "latent_reg='kl' here")
 
     param_shard = jax.tree.map(lambda spec: NamedSharding(mesh, spec),
                                crvae_param_spec(),

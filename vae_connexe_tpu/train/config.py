@@ -65,6 +65,9 @@ class WInTrainConfig:
     ``CR-VAE.py:227-347``)."""
 
     lr: float = 2e-3
+    # ISTA/prox step size; the reference CR-VAE.py trains Adam at lr=1e-3
+    # but proxes W_in at lr_prox=1e-2 (``CR-VAE.py:227,272``).  None = lr.
+    lr_prox: float | None = None
     lam: float = 0.03
     prox_groups: str = "row"        # 'row' (CRVAE.py) or 'element' (CR-VAE.py)
     batch_size: int = 256

@@ -37,6 +37,7 @@ from flax import struct
 
 from vae_connexe_tpu.losses.cs_divergence import cs_divergence_gmm
 from vae_connexe_tpu.losses.kl import kl_gaussian
+from vae_connexe_tpu.losses.penalties import ridge_value
 from vae_connexe_tpu.models.crvae import CRVAE, CRVAEParams
 from vae_connexe_tpu.models.error_vae import ErrorVAE, ErrorVAEParams
 from vae_connexe_tpu.models.gmm_prior import GMMPrior, init_gmm_prior
@@ -74,8 +75,7 @@ def _crvae_loss(model: CRVAE, cfg, params: CRVAEParams, prior: Optional[GMMPrior
     target = batch[:, model.enc_len:, :]
     # Σ over variables of each variable's MSE (``author_CRVAE.py:487``).
     recon = jnp.sum(jnp.mean((pred - target) ** 2, axis=(0, 1)))
-    ridge = cfg.lam_ridge * (jnp.sum(params.readout.w ** 2)
-                             + jnp.sum(params.heads.w_hh ** 2))
+    ridge = ridge_value(params.readout.w, params.heads.w_hh, cfg.lam_ridge)
     if prior is None:
         reg = beta * kl_gaussian(mu, logvar)
     else:
@@ -105,10 +105,18 @@ def _chunk_lengths(max_iter: int, check_every: int) -> list[int]:
     return [check_every] * full + ([rem] if rem else [])
 
 
-def _track_best(state, mean_loss):
+def _track_best(state, candidate_params, mean_loss):
+    """Snapshot ``candidate_params`` when ``mean_loss`` improves.
+
+    ``mean_loss`` is measured at the *pre-update* parameters, so callers must
+    pass those as the candidate (the reference deepcopies the exact model it
+    just evaluated, ``author_CRVAE.py:547-550``) — pairing the measured loss
+    with post-step params would snapshot a model that never achieved it.
+    """
     improved = mean_loss < state.best_loss
     best_params = jax.tree.map(
-        lambda new, old: jnp.where(improved, new, old), state.params, state.best_params)
+        lambda new, old: jnp.where(improved, new, old),
+        candidate_params, state.best_params)
     return best_params, jnp.minimum(mean_loss, state.best_loss)
 
 
@@ -119,16 +127,21 @@ def _track_best(state, mean_loss):
 def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
                      parents: jax.Array, fixed_batch: Optional[jax.Array] = None):
     """Build the jittable phase-1 step: (Phase1State,) -> (Phase1State, metrics)."""
+    if fixed_batch is None and not cfg.resample_batches:
+        # Fixed-batch parity mode without a caller-provided batch: draw the
+        # reference's ONE random gather (``author_CRVAE.py:473-476``) here,
+        # deterministically — NOT the first batch_size consecutive windows.
+        idx = jax.random.randint(jax.random.key(0), (cfg.batch_size,), 0,
+                                 windows.shape[0])
+        fixed_batch = jnp.take(windows, idx, axis=0)
 
     def step(state: Phase1State, _):
         key, k_batch, k_z = jax.random.split(state.key, 3)
         if fixed_batch is not None:
             batch = fixed_batch
-        elif cfg.resample_batches:
+        else:
             idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, windows.shape[0])
             batch = jnp.take(windows, idx, axis=0)
-        else:
-            batch = jax.lax.dynamic_slice_in_dim(windows, 0, cfg.batch_size, 0)
 
         def loss_fn(params, prior):
             loss, aux = _crvae_loss(model, cfg, params, prior, batch, k_z,
@@ -143,7 +156,7 @@ def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
                  jax.tree.map(lambda p, g: p - cfg.lr * g, state.prior, g_prior))
         params = _project_and_prox(params, parents, cfg.lam, cfg.lr)
 
-        best_params, best_loss = _track_best(state.replace(params=params), aux["mean_loss"])
+        best_params, best_loss = _track_best(state, state.params, aux["mean_loss"])
         usage = jnp.mean((jnp.linalg.norm(params.heads.w_ih, axis=-2) > 0)
                          .astype(jnp.float32))
         metrics = {"loss": loss, "recon": aux["recon"], "latent_reg": aux["latent_reg"],
@@ -244,7 +257,7 @@ def make_phase2_step(model: CRVAE, err_model: ErrorVAE, cfg: Phase2Config,
         updates, err_opt_state = err_opt.update(g_err, state.err_opt, state.err_params)
         err_params = optax.apply_updates(state.err_params, updates)
 
-        best_params, best_loss = _track_best(state.replace(params=params), aux["mean_loss"])
+        best_params, best_loss = _track_best(state, state.params, aux["mean_loss"])
         metrics = {"recon": aux["recon"], "latent_reg": aux["latent_reg"],
                    "mean_loss": aux["mean_loss"], "loss_e": aux["loss_e"],
                    "kl_e": aux["kl_e"]}

@@ -78,16 +78,20 @@ class WInTrainer:
             updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
 
+            lr_prox = cfg.lr if cfg.lr_prox is None else cfg.lr_prox
             if stage == 1:
                 # ISTA on W_in: gradient step then group soft-threshold
-                # (``CRVAE.py:134-150``).
-                w_new = state.params.w_in - cfg.lr * grads.w_in
-                params = params.replace(w_in=self.prox(w_new, cfg.lam, cfg.lr))
+                # (``CRVAE.py:134-150``; separate prox step size per
+                # ``CR-VAE.py:227,272``).
+                w_new = state.params.w_in - lr_prox * grads.w_in
+                params = params.replace(w_in=self.prox(w_new, cfg.lam, lr_prox))
             elif cfg.update_w_in_stage2:
-                # Masked gradient step on the frozen support (``CR-VAE.py:341-346``).
-                support = (jnp.linalg.norm(state.params.w_in, axis=-1, keepdims=True)
-                           > cfg.prune_threshold).astype(state.params.w_in.dtype)
-                w_new = state.params.w_in - cfg.lr * grads.w_in * support
+                # Masked gradient step on the frozen support
+                # (``CR-VAE.py:341-346``).  The support granularity must
+                # match the prox granularity: element-wise L1 freezes
+                # individual zeroed entries, group prox freezes whole rows.
+                support = self._support_mask(state.params.w_in)
+                w_new = state.params.w_in - lr_prox * grads.w_in * support
                 params = params.replace(w_in=w_new)
             # else: W_in frozen (CRVAE.py semantics — excluded from Adam).
 
@@ -96,6 +100,17 @@ class WInTrainer:
                                  step=state.step + 1), metrics
 
         return step
+
+    def _support_mask(self, w_in: jax.Array) -> jax.Array:
+        """Nonzero-structure mask at the prox's granularity: per element for
+        L1, per row for row groups (a row with one surviving element must
+        not revive its pruned siblings under element-wise prox)."""
+        thr = self.cfg.prune_threshold
+        if self.cfg.prox_groups == "element":
+            mask = jnp.abs(w_in) > thr
+        else:
+            mask = jnp.linalg.norm(w_in, axis=-1, keepdims=True) > thr
+        return mask.astype(w_in.dtype)
 
     def prune(self, params: WInCRVAEParams) -> WInCRVAEParams:
         """Stage-I → Stage-II handoff: hard-zero sub-threshold W_in entries
