@@ -43,6 +43,7 @@ def _cmd_run(args):
     results = run_experiment(args.experiment, seed=args.seed,
                              out_dir=args.out_dir, overrides=overrides or None,
                              run_phase2=not args.no_phase2,
+                             save_checkpoints=args.save_checkpoints,
                              verbose=not args.quiet)
     print(json.dumps(results, indent=2, default=str))
 
@@ -106,6 +107,8 @@ def main(argv=None):
     p_run.add_argument("--iters", type=int, default=None,
                        help="override phase iteration counts (smoke runs)")
     p_run.add_argument("--no-phase2", action="store_true")
+    p_run.add_argument("--save-checkpoints", action="store_true",
+                       help="write orbax checkpoints (+GC companion) to --out-dir")
     p_run.add_argument("--quiet", action="store_true")
     p_run.set_defaults(fn=_cmd_run)
 

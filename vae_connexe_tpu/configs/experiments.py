@@ -150,8 +150,14 @@ def _make_dataset(exp: Experiment, key: jax.Array):
 def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                    overrides: Optional[dict[str, Any]] = None,
                    run_phase2: bool = True, verbose: bool = True,
+                   save_checkpoints: bool = False,
                    log_fn=print) -> dict[str, Any]:
-    """Execute a named experiment end to end.  Returns the metrics dict."""
+    """Execute a named experiment end to end.  Returns the metrics dict.
+
+    ``save_checkpoints=True`` (requires ``out_dir``) writes orbax
+    checkpoints of the trained parameters, with the GC matrix as the
+    phase-1 companion artifact (the two-phase handoff format).
+    """
     exp = get_experiment(name)
     if overrides:
         exp = dataclasses.replace(exp, **overrides)
@@ -185,6 +191,9 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         if out:
             np.save(out / f"GC_{name}.npy", np.asarray(gc_est))
             np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))
+        if save_checkpoints and out:
+            from vae_connexe_tpu.utils import save_checkpoint
+            save_checkpoint(str(out / "ckpt_phase1"), best, gc_matrix=gc_est)
 
         if run_phase2:
             mask = gc_est.astype(jnp.float32)
@@ -207,6 +216,10 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             }
             if out:
                 np.save(out / f"syn_{name}.npy", np.asarray(gen))
+            if save_checkpoints and out:
+                from vae_connexe_tpu.utils import save_checkpoint
+                save_checkpoint(str(out / "ckpt_phase2"),
+                                {"crvae": best2, "error_vae": err2})
 
     elif exp.model_family == "win":
         from vae_connexe_tpu.data import sliding_windows
