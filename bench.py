@@ -69,7 +69,10 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, m = run_chunk(state)
-    jax.block_until_ready(state)
+    # Sync via a device->host value fetch: a scalar read cannot complete
+    # before the dependency chain has executed, unlike block_until_ready,
+    # which has been observed to return early through this runtime's relay.
+    final_loss = float(m["loss"][-1])
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_chunks * chunk_len / dt
@@ -81,7 +84,7 @@ def main():
         "vs_baseline": round(steps_per_sec / TORCH_CPU_BASELINE_P20, 2),
         "device": str(device.device_kind),
         "timed_steps": n_chunks * chunk_len,
-        "final_loss": float(m["loss"][-1]),
+        "final_loss": final_loss,
     }))
 
 

@@ -123,6 +123,17 @@ def get_experiment(name: str) -> Experiment:
     return EXPERIMENTS[name]
 
 
+def _sweep(truth, scores) -> dict[str, dict[str, float]]:
+    """The reference's threshold sweep (``CR-VAE.py:437-443``): accuracy and
+    sparsity of the binarized estimate across a threshold grid."""
+    from vae_connexe_tpu.evals import threshold_sweep
+
+    thrs = jnp.array([0.0, 0.01, 0.05, 0.1, 0.2, 0.5])
+    acc, sparsity = threshold_sweep(truth, scores, thrs)
+    return {f"{float(t):g}": {"accuracy": float(a), "sparsity": float(s)}
+            for t, a, s in zip(thrs, acc, sparsity)}
+
+
 def _make_dataset(exp: Experiment, key: jax.Array):
     from vae_connexe_tpu import data as D
 
@@ -188,6 +199,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         if truth is not None:
             results["gc"] = {k: float(v) for k, v in
                              gc_metrics(truth, scores, exp.gc_threshold).items()}
+            results["threshold_sweep"] = _sweep(truth, scores)
         if out:
             np.save(out / f"GC_{name}.npy", np.asarray(gc_est))
             np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))
@@ -242,6 +254,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         if truth is not None:
             results["gc"] = {k: float(v) for k, v in
                              gc_metrics(truth, scores, exp.gc_threshold).items()}
+            results["threshold_sweep"] = _sweep(truth, scores)
         gen = model.generate(params, windows[:8], k_gen, 20)
         results["generated_shape"] = list(gen.shape)
         if out:
