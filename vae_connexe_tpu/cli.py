@@ -44,6 +44,7 @@ def _cmd_run(args):
                              out_dir=args.out_dir, overrides=overrides or None,
                              run_phase2=not args.no_phase2,
                              save_checkpoints=args.save_checkpoints,
+                             artifacts_every=args.artifacts_every,
                              verbose=not args.quiet)
     print(json.dumps(results, indent=2, default=str))
 
@@ -109,6 +110,9 @@ def main(argv=None):
     p_run.add_argument("--no-phase2", action="store_true")
     p_run.add_argument("--save-checkpoints", action="store_true",
                        help="write orbax checkpoints (+GC companion) to --out-dir")
+    p_run.add_argument("--artifacts-every", type=int, default=None,
+                       help="phase-2: save samples + PCA/trajectory plots "
+                            "every N iterations (needs --out-dir)")
     p_run.add_argument("--quiet", action="store_true")
     p_run.set_defaults(fn=_cmd_run)
 

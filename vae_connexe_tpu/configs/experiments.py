@@ -106,13 +106,21 @@ EXPERIMENTS: dict[str, Experiment] = {
     "vrae_demo": Experiment(
         name="vrae_demo", model_family="vrae", dataset="random",
         p=10, t=20, hidden=64, latent=32),
-    # BASELINE.json configs[4]: scaled long-horizon Lorenz-96.
+    # BASELINE.json configs[4]: scaled long-horizon Lorenz-96 (p=40/128).
     "lorenz96_scaled": Experiment(
         name="lorenz96_scaled", model_family="crvae", dataset="lorenz96",
         p=40, t=4096, context=40, hidden=128,
         phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=5000, batch_size=512),
         phase2=Phase2Config(lr=5e-2, max_iter=5000, batch_size=512),
         notes="long-horizon scale-out config"),
+    "lorenz96_xl": Experiment(
+        name="lorenz96_xl", model_family="crvae", dataset="lorenz96",
+        p=128, t=8192, context=40, hidden=128,
+        # Smaller batch: the decoder's saved activations scale with
+        # p * B * T_dec * 3H (~400MB at B=64) and the backward doubles it.
+        phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=3000, batch_size=64),
+        phase2=Phase2Config(lr=5e-2, max_iter=3000, batch_size=64),
+        notes="extreme-scale config (p=128)"),
 }
 
 
@@ -162,12 +170,18 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                    overrides: Optional[dict[str, Any]] = None,
                    run_phase2: bool = True, verbose: bool = True,
                    save_checkpoints: bool = False,
+                   artifacts_every: int | None = None,
                    log_fn=print) -> dict[str, Any]:
     """Execute a named experiment end to end.  Returns the metrics dict.
 
     ``save_checkpoints=True`` (requires ``out_dir``) writes orbax
     checkpoints of the trained parameters, with the GC matrix as the
     phase-1 companion artifact (the two-phase handoff format).
+
+    ``artifacts_every=N`` (requires ``out_dir``; CRVAE family) reproduces
+    the reference's periodic phase-2 ritual (``author_CRVAE.py:688-696``):
+    every N iterations, sample compensated rollouts, save them, and write a
+    PCA comparison plus a trajectory overlay against the real windows.
     """
     exp = get_experiment(name)
     if overrides:
@@ -212,10 +226,29 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             p2_params = model.init(jax.random.fold_in(k_init, 1))
             err_model = ErrorVAE(d=exp.p, hidden=exp.hidden)
             err_params = err_model.init(jax.random.fold_in(k_init, 2))
+
+            callback = None
+            if artifacts_every and out:
+                from vae_connexe_tpu.evals.viz import pca_comparison, trajectory_overlay
+
+                ori = np.asarray(windows[:256, model.enc_len:, :])
+
+                def callback(step, state, metrics):
+                    if step % artifacts_every:
+                        return
+                    gen = generate_with_compensation(
+                        model, err_model, state.params, state.err_params,
+                        jax.random.fold_in(k_gen, step), 256, parents=mask)
+                    syn = np.asarray(gen[:, : ori.shape[1], :])
+                    np.save(out / f"syn_{name}_it{step}.npy", syn)
+                    pca_comparison(ori, syn, str(out / f"pca_{name}_it{step}.png"))
+                    trajectory_overlay(ori, syn,
+                                       str(out / f"traj_{name}_it{step}.png"))
+
             best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
                                             err_params, windows, mask,
                                             exp.phase2, k_p2, verbose=verbose,
-                                            log_fn=log_fn)
+                                            log_fn=log_fn, callback=callback)
             results["phase2"] = m2
             gen = generate_with_compensation(model, err_model, best2, err2,
                                              k_gen, 64, parents=mask)
