@@ -29,7 +29,9 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--warmup-chunks", type=int, default=2)
+    # The axon relay's first ~5 post-compile dispatches run ~10x slow;
+    # under-warming biases short measurements (see BASELINE.md notes).
+    ap.add_argument("--warmup-chunks", type=int, default=6)
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
     args = ap.parse_args()
     if args.quick:

@@ -9,7 +9,7 @@ import os
 
 import jax
 
-from vae_connexe_tpu.ops.gru import GRUParams, gru_scan_heads
+from vae_connexe_tpu.ops.gru import UNROLL_MAX_T, GRUParams, gru_scan_heads
 
 _FORCED: bool | None = None
 if os.environ.get("VAE_CONNEXE_FUSED_GRU") in ("0", "1"):
@@ -22,24 +22,26 @@ def set_fused(value: bool | None) -> None:
     _FORCED = value
 
 
-def use_fused() -> bool:
+def use_fused(t_len: int) -> bool:
     if _FORCED is not None:
         return _FORCED
-    # Default: the unrolled straight-line recurrence (ops.gru with
-    # UNROLL_MAX_T) benches FASTER than the Pallas kernel pair at the
-    # reference's shapes (T=10-20, H=64-128): the Pallas launches inside the
-    # training scan cost ~100us each on this runtime, while the unrolled XLA
-    # form fuses across timesteps with no loop overhead at all (measured
-    # 1686 vs 1516 steps/s on the p=20 north-star workload).  The fused path
-    # stays available for long-T / large-H regimes where straight-line code
-    # stops fitting (force with VAE_CONNEXE_FUSED_GRU=1 or set_fused(True)).
-    return False
+    # Measured regimes on v5e (RESULTS.md "Optimizations evaluated"):
+    # - short T (<= UNROLL_MAX_T): the unrolled straight-line recurrence in
+    #   ops.gru wins — Pallas launches inside the training scan cost ~100us
+    #   each on this runtime, while the unrolled form has zero loop
+    #   overhead (1686 vs 1516 steps/s on the p=20 north-star workload).
+    # - long T: the time-tiled fused kernels win — 11.5 vs 21.5 ms/step at
+    #   T=256, H=128 (lax.scan pays per-iteration while-loop overhead T
+    #   times; the kernel pays one launch and keeps h in VMEM).
+    return t_len > UNROLL_MAX_T and jax.default_backend() == "tpu"
 
 
 def heads_recurrence(params: GRUParams, x, h0):
-    """Stacked-head GRU sequence: fused Pallas kernel (fwd + custom-VJP bwd)
-    on TPU, ``lax.scan`` elsewhere.  Contract of ``ops.gru.gru_scan_heads``."""
-    if use_fused():
+    """Stacked-head GRU sequence: unrolled XLA for short sequences, fused
+    Pallas kernels (fwd + custom-VJP bwd) for long sequences on TPU,
+    ``lax.scan`` otherwise.  Contract of ``ops.gru.gru_scan_heads``."""
+    t_len = x.shape[-2]
+    if use_fused(t_len):
         from vae_connexe_tpu.ops.pallas_gru import gru_scan_heads_fused
         return gru_scan_heads_fused(params, x, h0)
     return gru_scan_heads(params, x, h0)

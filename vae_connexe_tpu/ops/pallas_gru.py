@@ -7,19 +7,23 @@ Decomposition (see pallas_guide.md):
 1. The input projection for all heads and all timesteps is ONE large MXU
    matmul done *outside* the kernel (``x @ W_ih^T``) — it has no sequential
    dependence and XLA already schedules it perfectly.
-2. The sequential part — T steps of (B, H) @ (H, 3H) hidden projection plus
-   VPU gate math per head — runs as a single Pallas kernel, one grid program
-   per (head, batch-tile).  The hidden state lives in VMEM scratch across
-   all T steps; per-step outputs stream to the output block.  One kernel
-   launch replaces T scan iterations of HBM-roundtripped carries.
+2. The sequential part — the per-step (B, H) @ (H, 3H) hidden projection
+   plus VPU gate math per head — runs as a Pallas kernel over a
+   (head, batch-tile, time-tile) grid.  The rightmost grid dimension
+   iterates **sequentially** on TPU, so the hidden state lives in VMEM
+   scratch and carries across time tiles with no HBM round trips; per-step
+   outputs stream to the output blocks.  Time tiling bounds VMEM at any
+   sequence length (a whole-T block OOMs past T ≈ 100 at H=128).
 
-A custom VJP makes the fused path trainable: the backward kernel replays the
-recurrence in reverse inside VMEM (rematerializing gate pre-activations from
-the saved per-step hidden states), accumulating dW_hh/db_hh locally and
+A custom VJP makes the fused path trainable: the backward kernel replays
+the recurrence in reverse (the time-tile grid axis is index-mapped back to
+front), rematerializing gate pre-activations from the saved per-step hidden
+states, accumulating dW_hh/db_hh in scratch across all time tiles, and
 streaming dxp per step.
 
 Correctness contract: bit-compatible gate math with ``ops.gru`` (same split
-order r, z, n; reset gate multiplies the hidden candidate).  The lax path
+order r, z, n; reset gate multiplies the hidden candidate — the n-gate's
+hidden bias sits inside the reset product, torch semantics).  The lax path
 remains the reference implementation; ``tests/test_pallas_gru.py`` pins
 fwd+bwd equality.
 """
@@ -35,49 +39,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vae_connexe_tpu.ops.gru import GRUParams
 
+_VMEM_BUDGET = 10 * 1024 * 1024   # leave headroom under ~16MB VMEM
 
-def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, *, t_steps, hidden):
-    """One (head, batch-tile) program: run the full T-step recurrence.
 
-    Block shapes: xp (1, T, Bt, 3H), w_hh (1, 3H, H), b_hh (1, 1, 3H),
-    h0 (1, Bt, H), outs (1, T, Bt, H).
+def _divisors_desc(n: int):
+    return [d for d in range(n, 0, -1) if n % d == 0]
+
+
+def _pick_tiles(b: int, t: int, hidden: int, stream_h_units: int):
+    """Choose (batch_tile, time_tile).
+
+    Constraints: batch_tile must divide b AND satisfy Mosaic's sublane rule
+    (multiple of 8, or equal to b); time_tile must divide t.  Prefer the
+    full batch with the largest fitting time tile (fewer grid programs).
+
+    ``stream_h_units``: H-multiples streamed per (t, batch-row) element
+    including the pipeline's double buffering — forward 2·(3H in + H out)
+    = 8, backward 2·(3H + 3·H in + 3H out) = 18.
     """
-    w_hh = w_hh_ref[0]                      # (3H, H)
-    b_hh = b_hh_ref[0]                      # (1, 3H)
+    def fits(bt: int, tt: int) -> bool:
+        need = 4 * (tt * bt * stream_h_units * hidden
+                    + bt * hidden + 4 * hidden * hidden)
+        return need <= _VMEM_BUDGET
+
+    bt_candidates = [b] + [d for d in _divisors_desc(b) if d % 8 == 0 and d != b]
+    for bt in bt_candidates:
+        for tt in _divisors_desc(t):
+            if fits(bt, tt):
+                return bt, tt
+    return bt_candidates[-1] if bt_candidates else b, 1
+
+
+def _gru_gates(xp_t, hp, h):
+    xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+    hr, hz, hn = jnp.split(hp, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, h_scratch,
+                *, t_tile, hidden):
+    """One (head, batch-tile, time-tile) program.
+
+    Blocks: xp (1, tt, Bt, 3H), w_hh (1, 3H, H), b_hh (1, 1, 3H),
+    h0 (1, Bt, H), outs (1, tt, Bt, H).  The time-tile grid axis iterates
+    sequentially; ``h_scratch`` carries the hidden state between tiles.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        h_scratch[...] = h0_ref[0]
+
+    w_hh = w_hh_ref[0]
+    b_hh = b_hh_ref[0]
 
     def step(t, h):
-        xp_t = xp_ref[0, t]                 # (Bt, 3H)
         hp = jax.lax.dot_general(h, w_hh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) + b_hh
-        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
-        hr, hz, hn = jnp.split(hp, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gates(xp_ref[0, t], hp, h)
         outs_ref[0, t] = h_new
         return h_new
 
-    jax.lax.fori_loop(0, t_steps, step, h0_ref[0])
-
-
-def _pick_batch_tile(b: int, t: int, hidden: int) -> int:
-    """Largest *divisor* of b whose VMEM working set fits.
-
-    Must divide b exactly — grid=(p, b // tile) covers the batch only for
-    exact divisors; a non-divisor would silently skip trailing rows."""
-    budget = 10 * 1024 * 1024   # leave headroom under ~16MB VMEM
-
-    def fits(tile: int) -> bool:
-        # xp block + outs block + h + weights, f32.
-        need = 4 * (t * tile * 3 * hidden + t * tile * hidden
-                    + tile * hidden + 3 * hidden * hidden)
-        return need <= budget
-
-    for tile in range(b, 0, -1):
-        if b % tile == 0 and fits(tile):
-            return tile
-    return 1
+    h_scratch[...] = jax.lax.fori_loop(0, t_tile, step, h_scratch[...])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -87,25 +117,26 @@ def _fused_recurrence(xp: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
     -> outs (P, T, B, H)."""
     p, t, b, three_h = xp.shape
     hidden = three_h // 3
-    bt = _pick_batch_tile(b, t, hidden)
+    bt, tt = _pick_tiles(b, t, hidden, stream_h_units=8)
 
-    kernel = functools.partial(_fwd_kernel, t_steps=t, hidden=hidden)
+    kernel = functools.partial(_fwd_kernel, t_tile=tt, hidden=hidden)
     return pl.pallas_call(
         kernel,
-        grid=(p, b // bt),
+        grid=(p, b // bt, t // tt),
         in_specs=[
-            pl.BlockSpec((1, t, bt, three_h), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, tt, bt, three_h), lambda i, j, k: (i, k, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, three_h, hidden), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, three_h), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, hidden), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bt, hidden), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, bt, hidden), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, tt, bt, hidden), lambda i, j, k: (i, k, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, t, b, hidden), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, hidden), jnp.float32)],
         interpret=interpret,
     )(xp, w_hh, b_hh[:, None, :], h0)
 
@@ -138,37 +169,40 @@ def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
 
 def _bwd_kernel(xp_ref, hprev_ref, outs_ref, douts_ref, w_hh_ref, b_hh_ref,
                 dxp_ref, dwhh_ref, dbhh_ref, dh0_ref,
-                dh_scratch, dw_scratch, db_scratch, *, t_steps, hidden):
-    """Reverse-time replay for one (head, batch-tile) program.
+                dh_scratch, dw_scratch, db_scratch, *, t_tile, n_tt, hidden):
+    """Reverse-time replay over a (head, batch-tile, time-tile) grid.
 
-    Blocks: xp (1,T,Bt,3H), hprev (1,T,Bt,H) [h_{t-1} for each t],
-    outs (1,T,Bt,H), douts (1,T,Bt,H), w_hh (1,3H,H), b_hh (1,1,3H);
-    outputs dxp (1,T,Bt,3H), per-tile dwhh (1,1,3H,H), dbhh (1,1,1,3H),
-    dh0 (1,Bt,H).  Gate pre-activations are rematerialized exactly as in the
-    forward — hp = h_prev @ W_hh^T + b_hh, with the n-gate bias inside the
-    reset product (torch semantics) — one extra matmul per step;
-    dW_hh/db_hh accumulate in VMEM scratch.
+    The time-tile grid axis is index-mapped to walk the sequence back to
+    front; within a tile the loop runs t_tile-1 .. 0.  ``dh_scratch``
+    carries dL/dh between tiles; ``dw/db`` scratches accumulate across all
+    of a (head, batch-tile)'s time tiles and are written out on the last
+    one.  Gate pre-activations are rematerialized exactly as in the forward
+    (hp = h_prev @ W_hh^T + b_hh; the n-gate bias inside the reset product,
+    torch semantics) — one extra matmul per step.
     """
-    w_hh = w_hh_ref[0]                                    # (3H, H)
-    b_hh = b_hh_ref[0]                                    # (1, 3H)
-    dh_scratch[...] = jnp.zeros_like(dh_scratch)
-    dw_scratch[...] = jnp.zeros_like(dw_scratch)
-    db_scratch[...] = jnp.zeros_like(db_scratch)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+        dw_scratch[...] = jnp.zeros_like(dw_scratch)
+        db_scratch[...] = jnp.zeros_like(db_scratch)
+
+    w_hh = w_hh_ref[0]
+    b_hh = b_hh_ref[0]
 
     def step(i, _):
-        t = t_steps - 1 - i
-        h_prev = hprev_ref[0, t]                          # (Bt, H)
+        t = t_tile - 1 - i
+        h_prev = hprev_ref[0, t]
         dh = douts_ref[0, t] + dh_scratch[...]
 
         hp = jax.lax.dot_general(h_prev, w_hh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) + b_hh
-        xp_t = xp_ref[0, t]
-        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+        xr, xz, xn = jnp.split(xp_ref[0, t], 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
-        a = xn + r * hn
-        n = jnp.tanh(a)
+        n = jnp.tanh(xn + r * hn)
 
         dz = dh * (h_prev - n) * z * (1.0 - z)
         da = dh * (1.0 - z) * (1.0 - n * n)
@@ -176,20 +210,21 @@ def _bwd_kernel(xp_ref, hprev_ref, outs_ref, douts_ref, w_hh_ref, b_hh_ref,
         ghid = jnp.concatenate([dbr, dz, da * r], axis=-1)   # grad wrt hp
         dxp_ref[0, t] = jnp.concatenate([dbr, dz, da], axis=-1)
 
-        # carry: dh_{t-1} = dh*z + ghid @ W_hh
         dh_scratch[...] = dh * z + jnp.dot(ghid, w_hh,
                                            preferred_element_type=jnp.float32)
-        # dW_hh += ghid^T @ h_prev ; db_hh += sum_B ghid
         dw_scratch[...] += jax.lax.dot_general(
             ghid, h_prev, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         db_scratch[...] += jnp.sum(ghid, axis=0, keepdims=True)
         return 0
 
-    jax.lax.fori_loop(0, t_steps, step, 0)
-    dwhh_ref[0, 0] = dw_scratch[...]
-    dbhh_ref[0, 0, 0] = db_scratch[0]
-    dh0_ref[0] = dh_scratch[...]
+    jax.lax.fori_loop(0, t_tile, step, 0)
+
+    @pl.when(k == n_tt - 1)
+    def _():
+        dwhh_ref[0, 0] = dw_scratch[...]
+        dbhh_ref[0, 0, 0] = db_scratch[0]
+        dh0_ref[0] = dh_scratch[...]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -200,41 +235,38 @@ def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array, outs: jax.Array,
     Returns (dxp (P,T,B,3H), dwhh (P,3H,H), dbhh (P,3H), dh0 (P,B,H))."""
     p, t, b, three_h = xp_b.shape
     hidden = three_h // 3
-    bt = _pick_batch_tile(b, t, hidden)
-    n_tiles = b // bt
+    bt, tt = _pick_tiles(b, t, hidden, stream_h_units=18)
+    n_bt, n_tt = b // bt, t // tt
 
-    kernel = functools.partial(_bwd_kernel, t_steps=t, hidden=hidden)
+    # Time-tile k walks the sequence back to front.
+    rev = lambda i, j, k: (i, n_tt - 1 - k, j, 0)  # noqa: E731
+    kernel = functools.partial(_bwd_kernel, t_tile=tt, n_tt=n_tt, hidden=hidden)
     dxp, dwhh_p, dbhh_p, dh0 = pl.pallas_call(
         kernel,
-        grid=(p, n_tiles),
+        grid=(p, n_bt, n_tt),
         in_specs=[
-            pl.BlockSpec((1, t, bt, three_h), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, bt, hidden), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, bt, hidden), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, bt, hidden), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, three_h, hidden), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, three_h), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t, bt, three_h), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, three_h, hidden), lambda i, j, k: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, three_h, hidden), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 1, three_h), lambda i, j, k: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, three_h), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, hidden), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bt, hidden), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((p, t, b, three_h), xp_b.dtype),
-            jax.ShapeDtypeStruct((p, n_tiles, three_h, hidden), xp_b.dtype),
-            jax.ShapeDtypeStruct((p, n_tiles, 1, three_h), xp_b.dtype),
+            jax.ShapeDtypeStruct((p, n_bt, three_h, hidden), xp_b.dtype),
+            jax.ShapeDtypeStruct((p, n_bt, 1, three_h), xp_b.dtype),
             jax.ShapeDtypeStruct((p, b, hidden), xp_b.dtype),
         ],
         scratch_shapes=[
@@ -276,7 +308,6 @@ def _fused_core_fwd(w_ih, b_ih, w_hh, b_hh, x, h0):
 
 def _fused_core_bwd(res, douts):
     w_ih, w_hh, b_hh, x, h0, xp, outs_tm = res
-    p, t, b, hidden = outs_tm.shape
     hprev = jnp.concatenate([h0[:, None], outs_tm[:, :-1]], axis=1)
     douts_tm = jnp.swapaxes(douts, 1, 2)
     dxp, dwhh, dbhh, dh0 = _fused_recurrence_bwd(
