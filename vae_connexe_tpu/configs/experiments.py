@@ -113,6 +113,14 @@ EXPERIMENTS: dict[str, Experiment] = {
         phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=5000, batch_size=512),
         phase2=Phase2Config(lr=5e-2, max_iter=5000, batch_size=512),
         notes="long-horizon scale-out config"),
+    # Long-horizon windows: T_dec = 118 > UNROLL_MAX_T exercises the fused
+    # Pallas recurrence inside training (SURVEY.md §5 "long-context").
+    "lorenz96_longhorizon": Experiment(
+        name="lorenz96_longhorizon", model_family="crvae", dataset="lorenz96",
+        p=10, t=4096, context=128, hidden=64,
+        phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=2000, batch_size=128),
+        phase2=Phase2Config(lr=5e-2, max_iter=2000, batch_size=128),
+        notes="long-horizon windows (fused-kernel decode path)"),
     "lorenz96_xl": Experiment(
         name="lorenz96_xl", model_family="crvae", dataset="lorenz96",
         p=128, t=8192, context=40, hidden=128,
