@@ -33,9 +33,15 @@ def main():
     # under-warming biases short measurements (see BASELINE.md notes).
     ap.add_argument("--warmup-chunks", type=int, default=6)
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
+    ap.add_argument("--workload", choices=["train", "generate"], default="train",
+                    help="train = phase-1 steps/sec (headline); generate = "
+                         "compensated-rollout serving throughput")
     args = ap.parse_args()
     if args.quick:
         args.steps = 300
+
+    if args.workload == "generate":
+        return bench_generate(args)
 
     from vae_connexe_tpu.data import arrange_input, lorenz96
     from vae_connexe_tpu.models import CRVAE
@@ -87,6 +93,44 @@ def main():
         "device": str(device.device_kind),
         "timed_steps": n_chunks * chunk_len,
         "final_loss": final_loss,
+    }))
+
+
+def bench_generate(args):
+    """Serving throughput: compensated 21-step rollouts (samples/sec)."""
+    import jax.numpy as jnp
+
+    from vae_connexe_tpu.models import CRVAE, ErrorVAE
+    from vae_connexe_tpu.train import generate_with_compensation
+
+    model = CRVAE(p=args.p, hidden=args.hidden)
+    err = ErrorVAE(d=args.p, hidden=args.hidden)
+    params = model.init(jax.random.key(0))
+    err_params = err.init(jax.random.key(1))
+    parents = jnp.ones((args.p, args.p), jnp.float32)
+    batch = 1024
+
+    gen = jax.jit(lambda key: generate_with_compensation(
+        model, err, params, err_params, key, batch, parents=parents))
+
+    for i in range(8):
+        out = gen(jax.random.key(i))
+    _ = float(out[0, 0, 0])
+    n_calls = 50
+    t0 = time.perf_counter()
+    for i in range(n_calls):
+        out = gen(jax.random.key(100 + i))
+    _ = float(out[0, 0, 0])
+    dt = time.perf_counter() - t0
+    samples_per_sec = n_calls * batch / dt
+    print(json.dumps({
+        "metric": f"crvae_p{args.p}_rollout_samples_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/sec",
+        "vs_baseline": None,
+        "rollout_len": model.rollout_len,
+        "batch": batch,
+        "device": str(jax.devices()[0].device_kind),
     }))
 
 

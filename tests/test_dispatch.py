@@ -1,0 +1,63 @@
+"""Recurrence dispatch: path selection and numerical equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_connexe_tpu.ops import dispatch, gru_scan, gru_scan_heads, init_gru, init_stacked_gru
+from vae_connexe_tpu.ops import pallas_gru
+from vae_connexe_tpu.ops.gru import UNROLL_MAX_T
+
+
+def test_auto_policy():
+    # CPU backend in tests: never fused unless forced.
+    assert not dispatch.use_fused(10)
+    assert not dispatch.use_fused(UNROLL_MAX_T + 1)
+    dispatch.set_fused(True)
+    try:
+        assert dispatch.use_fused(10)
+    finally:
+        dispatch.set_fused(None)
+
+
+def test_forced_fused_matches_lax_through_dispatcher():
+    """Force the fused path (interpret mode) through heads_recurrence and
+    gru_sequence at long T; outputs must match the lax reference."""
+    pallas_gru.set_interpret(True)
+    dispatch.set_fused(True)
+    try:
+        params = init_stacked_gru(jax.random.key(0), 2, 3, 8)
+        x = jax.random.normal(jax.random.key(1), (4, UNROLL_MAX_T + 6, 3))
+        h0 = jnp.zeros((2, 4, 8))
+        o_f, h_f = dispatch.heads_recurrence(params, x, h0)
+        o_l, h_l = gru_scan_heads(params, x, h0)
+        np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_l), atol=1e-5)
+
+        single = init_gru(jax.random.key(2), 3, 8)
+        o1, h1 = dispatch.gru_sequence(single, x, jnp.zeros((4, 8)))
+        o2, h2 = gru_scan(single, x, jnp.zeros((4, 8)))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+    finally:
+        dispatch.set_fused(None)
+        pallas_gru.set_interpret(False)
+
+
+def test_model_forward_invariant_to_dispatch_path():
+    """CRVAE forward with a long window must be identical on both paths."""
+    from vae_connexe_tpu.models import CRVAE
+
+    pallas_gru.set_interpret(True)
+    model = CRVAE(p=3, hidden=8, enc_len=6)
+    params = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (8, UNROLL_MAX_T + 10, 3))
+    try:
+        dispatch.set_fused(True)
+        pred_f = model.forward(params, x, jax.random.key(2), deterministic=True)[0]
+        dispatch.set_fused(False)
+        pred_l = model.forward(params, x, jax.random.key(2), deterministic=True)[0]
+    finally:
+        dispatch.set_fused(None)
+        pallas_gru.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(pred_f), np.asarray(pred_l), atol=1e-5)

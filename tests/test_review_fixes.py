@@ -9,14 +9,16 @@ from vae_connexe_tpu.models import CRVAE, WInCRVAE
 from vae_connexe_tpu.train import Phase1Config, WInTrainConfig, WInTrainer
 
 
-def test_pick_batch_tile_always_divides():
-    from vae_connexe_tpu.ops.pallas_gru import _pick_batch_tile
+def test_pick_tiles_divide_and_respect_sublane_rule():
+    from vae_connexe_tpu.ops.pallas_gru import _pick_tiles
 
     for b in (44, 52, 7, 13, 256, 1000, 3):
         for t, h in ((512, 256), (10, 64), (2048, 128)):
-            tile = _pick_batch_tile(b, t, h)
-            assert b % tile == 0, (b, t, h, tile)
-            assert tile >= 1
+            for units in (8, 18):
+                bt, tt = _pick_tiles(b, t, h, units)
+                assert b % bt == 0 and t % tt == 0, (b, t, h, bt, tt)
+                # Mosaic sublane rule: batch tile is x8 or the full batch.
+                assert bt == b or bt % 8 == 0, (b, bt)
 
 
 def test_track_best_uses_pre_update_params():

@@ -46,10 +46,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vae_connexe_tpu.ops.dispatch import heads_recurrence
+from vae_connexe_tpu.ops.dispatch import gru_sequence, heads_recurrence
 from vae_connexe_tpu.ops.gru import (
     GRUParams,
-    gru_scan,
     gru_step_heads,
     init_gru,
     init_stacked_gru,
@@ -103,7 +102,7 @@ class CRVAE:
         first enc_len steps with h0 = 0."""
         b = x.shape[0]
         h0 = jnp.zeros((b, self.hidden), x.dtype)
-        _, h_t = gru_scan(params.enc, x[:, : self.enc_len], h0)
+        _, h_t = gru_sequence(params.enc, x[:, : self.enc_len], h0)
         return dense(params.fc_mu, h_t), dense(params.fc_std, h_t)
 
     def forward(self, params: CRVAEParams, x: jax.Array, key: jax.Array,

@@ -45,3 +45,19 @@ def heads_recurrence(params: GRUParams, x, h0):
         from vae_connexe_tpu.ops.pallas_gru import gru_scan_heads_fused
         return gru_scan_heads_fused(params, x, h0)
     return gru_scan_heads(params, x, h0)
+
+
+def gru_sequence(params: GRUParams, x, h0):
+    """Single (unstacked) GRU sequence with the same dispatch policy —
+    contract of ``ops.gru.gru_scan``.  Long sequences ride the fused kernel
+    as a 1-head stack."""
+    import jax.numpy as jnp
+
+    from vae_connexe_tpu.ops.gru import gru_scan
+
+    if use_fused(x.shape[-2]):
+        from vae_connexe_tpu.ops.pallas_gru import gru_scan_heads_fused
+        stacked = jax.tree.map(lambda a: a[None], params)
+        outs, h_t = gru_scan_heads_fused(stacked, x, h0[None])
+        return outs[0], h_t[0]
+    return gru_scan(params, x, h0)
