@@ -71,7 +71,9 @@ def main():
 
     for _ in range(args.warmup_chunks):
         state, m = run_chunk(state)
-    jax.block_until_ready(state)
+    # Scalar fetch, not block_until_ready: the relay can return early from
+    # the latter, which would leak warmup work into the timed window.
+    _ = float(m["loss"][-1])
 
     n_chunks = max(1, args.steps // chunk_len)
     t0 = time.perf_counter()
@@ -110,16 +112,20 @@ def bench_generate(args):
     parents = jnp.ones((args.p, args.p), jnp.float32)
     batch = 1024
 
-    gen = jax.jit(lambda key: generate_with_compensation(
-        model, err, params, err_params, key, batch, parents=parents))
+    # Params as jit arguments, not closure constants — baked-in constants
+    # blow the remote-compile request size at scaled configs (CLAUDE.md).
+    @jax.jit
+    def gen(prms, eprms, key):
+        return generate_with_compensation(model, err, prms, eprms, key,
+                                          batch, parents=parents)
 
     for i in range(8):
-        out = gen(jax.random.key(i))
+        out = gen(params, err_params, jax.random.key(i))
     _ = float(out[0, 0, 0])
     n_calls = 50
     t0 = time.perf_counter()
     for i in range(n_calls):
-        out = gen(jax.random.key(100 + i))
+        out = gen(params, err_params, jax.random.key(100 + i))
     _ = float(out[0, 0, 0])
     dt = time.perf_counter() - t0
     samples_per_sec = n_calls * batch / dt

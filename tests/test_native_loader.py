@@ -37,9 +37,23 @@ def test_shifted_targets_match_arrange_input_contract(series):
 def test_standardize_matches_host(series):
     with NativeWindowLoader.from_array(series) as loader:
         loader.standardize()
-        full = loader.gather(np.zeros(1, np.int64), series.shape[0] - 1)[0]
+        full = loader.gather(np.zeros(1, np.int64), series.shape[0])[0]
     expected = (series - series.mean(0)) / (series.std(0) + 1e-8)
-    np.testing.assert_allclose(full, expected[:-1], atol=1e-4)
+    np.testing.assert_allclose(full, expected, atol=1e-4)
+
+
+def test_window_counts_match_pure_paths(series):
+    """Plain count == sliding_windows (T-ctx+1); shifted == arrange_input
+    (T-ctx); the LAST plain window is reachable."""
+    t = series.shape[0]
+    with NativeWindowLoader.from_array(series) as loader:
+        assert loader.num_windows(20) == t - 20 + 1
+        assert loader.num_windows(20, shifted=True) == t - 20
+        last = loader.gather(np.array([t - 20], np.int64), 20)[0]
+        np.testing.assert_array_equal(last, series[t - 20:])
+        # The same start is out of range for shifted pairs.
+        with pytest.raises(IndexError):
+            loader.gather_shifted(np.array([t - 20], np.int64), 20)
 
 
 def test_out_of_range_raises(series):

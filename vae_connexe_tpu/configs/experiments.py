@@ -239,15 +239,24 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             if artifacts_every and out:
                 from vae_connexe_tpu.evals.viz import pca_comparison, trajectory_overlay
 
-                ori = np.asarray(windows[:256, model.enc_len:, :])
+                # Real and generated segments must share T for the PCA fit:
+                # the rollout is rollout_len steps, windows give T - enc_len.
+                t_cmp = min(model.rollout_len,
+                            windows.shape[1] - model.enc_len)
+                ori = np.asarray(windows[:256, model.enc_len:model.enc_len + t_cmp, :])
+                fired = {"last": 0}
 
                 def callback(step, state, metrics):
-                    if step % artifacts_every:
+                    # The trainer calls back once per check_every chunk;
+                    # fire on the first boundary at/after each period so
+                    # artifacts_every needn't divide check_every.
+                    if step - fired["last"] < artifacts_every:
                         return
+                    fired["last"] = step
                     gen = generate_with_compensation(
                         model, err_model, state.params, state.err_params,
                         jax.random.fold_in(k_gen, step), 256, parents=mask)
-                    syn = np.asarray(gen[:, : ori.shape[1], :])
+                    syn = np.asarray(gen[:, :t_cmp, :])
                     np.save(out / f"syn_{name}_it{step}.npy", syn)
                     pca_comparison(ori, syn, str(out / f"pca_{name}_it{step}.png"))
                     trajectory_overlay(ori, syn,

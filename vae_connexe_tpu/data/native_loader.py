@@ -46,7 +46,7 @@ def _load() -> ctypes.CDLL:
     lib.wl_open_inline.restype = ctypes.c_void_p
     lib.wl_open_inline.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     lib.wl_num_windows.restype = ctypes.c_int64
-    lib.wl_num_windows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.wl_num_windows.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
     lib.wl_fill_batch.restype = ctypes.c_int
     lib.wl_fill_batch.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
@@ -99,11 +99,14 @@ class NativeWindowLoader:
 
     # ---------------- API ----------------
 
-    def num_windows(self, context: int) -> int:
-        return int(self._lib.wl_num_windows(self._h, context))
+    def num_windows(self, context: int, shifted: bool = False) -> int:
+        """T - context + 1 plain windows (``sliding_windows``), or
+        T - context shifted input/target pairs (``arrange_input``)."""
+        return int(self._lib.wl_num_windows(self._h, context, int(shifted)))
 
     def standardize(self) -> None:
-        """Per-variable (x - mean) / std over time, computed natively."""
+        """Per-variable (x - mean) / std over time: one streaming Welford
+        pass stores O(p) stats that the fill paths apply on the fly."""
         rc = self._lib.wl_standardize(self._h)
         if rc != 0:
             raise RuntimeError(f"wl_standardize failed ({rc})")
@@ -134,8 +137,8 @@ class NativeWindowLoader:
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int,
                      context: int) -> np.ndarray:
-        """Uniform with-replacement minibatch (host-side analogue of
-        ``data.windows.sample_batch``)."""
+        """Uniform with-replacement minibatch over all T - context + 1 plain
+        windows (host-side analogue of ``data.windows.sample_batch``)."""
         idx = rng.integers(0, self.num_windows(context), batch_size,
                            dtype=np.int64)
         return self.gather(idx, context)

@@ -55,7 +55,7 @@ def _pick_tiles(b: int, t: int, hidden: int, stream_h_units: int):
 
     ``stream_h_units``: H-multiples streamed per (t, batch-row) element
     including the pipeline's double buffering — forward 2·(3H in + H out)
-    = 8, backward 2·(3H + 3·H in + 3H out) = 18.
+    = 8, backward 2·(3H + 2·H in + 3H out) = 16.
     """
     def fits(bt: int, tt: int) -> bool:
         need = 4 * (tt * bt * stream_h_units * hidden
@@ -157,6 +157,8 @@ def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
     """
     xp = _project_inputs(params, x)                       # (P, B, T, 3H)
     xp = jnp.swapaxes(xp, 1, 2)                           # (P, T, B, 3H)
+    # Honor gru_scan_heads' broadcastable-h0 contract (e.g. (P, 1, H)).
+    h0 = jnp.broadcast_to(h0, (xp.shape[0], xp.shape[2], params.hidden))
     outs = _fused_recurrence(xp, params.w_hh, params.b_hh, h0,
                              interpret=interpret)         # (P, T, B, H)
     outs = jnp.swapaxes(outs, 1, 2)                       # (P, B, T, H)
@@ -167,7 +169,7 @@ def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
 # Backward kernel + custom VJP (trainable fused path)
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(xp_ref, hprev_ref, outs_ref, douts_ref, w_hh_ref, b_hh_ref,
+def _bwd_kernel(xp_ref, hprev_ref, douts_ref, w_hh_ref, b_hh_ref,
                 dxp_ref, dwhh_ref, dbhh_ref, dh0_ref,
                 dh_scratch, dw_scratch, db_scratch, *, t_tile, n_tt, hidden):
     """Reverse-time replay over a (head, batch-tile, time-tile) grid.
@@ -228,14 +230,17 @@ def _bwd_kernel(xp_ref, hprev_ref, outs_ref, douts_ref, w_hh_ref, b_hh_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array, outs: jax.Array,
+def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array,
                           douts: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
                           interpret: bool = False):
-    """All arrays time-major: xp_b (P,T,B,3H), hprev/outs/douts (P,T,B,H).
-    Returns (dxp (P,T,B,3H), dwhh (P,3H,H), dbhh (P,3H), dh0 (P,B,H))."""
+    """All arrays time-major: xp_b (P,T,B,3H), hprev/douts (P,T,B,H).
+    Gate activations are rematerialized from hprev + xp, so the forward's
+    outs never enter the kernel.  Returns (dxp (P,T,B,3H), dwhh (P,3H,H),
+    dbhh (P,3H), dh0 (P,B,H))."""
     p, t, b, three_h = xp_b.shape
     hidden = three_h // 3
-    bt, tt = _pick_tiles(b, t, hidden, stream_h_units=18)
+    # Streams: xp (3H) + hprev (H) + douts (H) in, dxp (3H) out; 2x buffered.
+    bt, tt = _pick_tiles(b, t, hidden, stream_h_units=16)
     n_bt, n_tt = b // bt, t // tt
 
     # Time-tile k walks the sequence back to front.
@@ -246,7 +251,6 @@ def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array, outs: jax.Array,
         grid=(p, n_bt, n_tt),
         in_specs=[
             pl.BlockSpec((1, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, three_h, hidden), lambda i, j, k: (i, 0, 0),
@@ -275,7 +279,7 @@ def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array, outs: jax.Array,
             pltpu.VMEM((1, three_h), jnp.float32),
         ],
         interpret=interpret,
-    )(xp_b, hprev, outs, douts, w_hh, b_hh[:, None, :])
+    )(xp_b, hprev, douts, w_hh, b_hh[:, None, :])
     return dxp, dwhh_p.sum(axis=1), dbhh_p[:, :, 0, :].sum(axis=1), dh0
 
 
@@ -311,7 +315,7 @@ def _fused_core_bwd(res, douts):
     hprev = jnp.concatenate([h0[:, None], outs_tm[:, :-1]], axis=1)
     douts_tm = jnp.swapaxes(douts, 1, 2)
     dxp, dwhh, dbhh, dh0 = _fused_recurrence_bwd(
-        xp, hprev, outs_tm, douts_tm, w_hh, b_hh, interpret=_INTERPRET)
+        xp, hprev, douts_tm, w_hh, b_hh, interpret=_INTERPRET)
 
     db_ih = jnp.sum(dxp, axis=(1, 2))                       # (P, 3H)
     if x.ndim == 3:
@@ -330,6 +334,10 @@ def gru_scan_heads_fused(params: GRUParams, x: jax.Array, h0: jax.Array):
     """Trainable fused stacked-head GRU: same contract as
     ``ops.gru.gru_scan_heads`` — (outs (P, B, T, H), h_T (P, B, H)) — with a
     Pallas forward AND backward (custom VJP)."""
+    b = x.shape[0] if x.ndim == 3 else x.shape[1]
+    # Broadcast outside the custom VJP so JAX reduces dh0 correctly for
+    # broadcastable inputs like (P, 1, H) — the gru_scan_heads contract.
+    h0 = jnp.broadcast_to(h0, (params.w_ih.shape[0], b, params.hidden))
     outs = _fused_core(params.w_ih, params.b_ih, params.w_hh, params.b_hh,
                        x, h0)
     return outs, outs[:, :, -1, :]
