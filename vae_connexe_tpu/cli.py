@@ -78,6 +78,44 @@ def _cmd_sweep(args):
     }, indent=2))
 
 
+def _cmd_eval(args):
+    """Load a phase-1 checkpoint and re-evaluate / generate without training."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_connexe_tpu.configs import get_experiment
+    from vae_connexe_tpu.configs.experiments import _make_dataset, _sweep
+    from vae_connexe_tpu.evals import gc_metrics
+    from vae_connexe_tpu.models import CRVAE
+    from vae_connexe_tpu.utils import load_gc, restore_checkpoint
+
+    exp = get_experiment(args.experiment)
+    if exp.model_family != "crvae":
+        sys.exit("eval currently supports crvae-family experiments")
+    model = CRVAE(p=exp.p, hidden=exp.hidden)
+    params = restore_checkpoint(args.checkpoint, model.init(jax.random.key(0)))
+    gc = jnp.asarray(load_gc(args.checkpoint), jnp.float32)
+
+    results = {"experiment": args.experiment, "checkpoint": args.checkpoint}
+    _, truth = _make_dataset(exp, jax.random.key(args.seed))
+    scores = model.gc(params, parents=gc, threshold=False)
+    if truth is not None:
+        results["gc"] = {k: float(v) for k, v in
+                         gc_metrics(truth, scores, exp.gc_threshold).items()}
+        results["threshold_sweep"] = _sweep(truth, scores)
+    if args.generate:
+        roll = model.rollout(params, jax.random.key(args.seed + 1),
+                             args.generate, parents=gc)
+        results["generated_shape"] = list(roll.shape)
+        if args.out:
+            np.save(args.out, np.asarray(roll))
+            results["saved"] = args.out
+    print(json.dumps(results, indent=2))
+
+
 def _cmd_bench(args):
     import pathlib
     import runpy
@@ -129,6 +167,15 @@ def main(argv=None):
     p_sw.add_argument("--mesh", action="store_true",
                       help="shard the seed axis over the device mesh")
     p_sw.set_defaults(fn=_cmd_sweep)
+
+    p_e = sub.add_parser("eval", help="evaluate / generate from a checkpoint")
+    p_e.add_argument("experiment", help="experiment name (model geometry)")
+    p_e.add_argument("checkpoint", help="path written by run --save-checkpoints")
+    p_e.add_argument("--seed", type=int, default=0)
+    p_e.add_argument("--generate", type=int, default=0, metavar="BATCH",
+                     help="also sample BATCH free-running rollouts")
+    p_e.add_argument("--out", default=None, help=".npy path for samples")
+    p_e.set_defaults(fn=_cmd_eval)
 
     p_b = sub.add_parser("bench", help="headline throughput benchmark")
     p_b.add_argument("--quick", action="store_true")
