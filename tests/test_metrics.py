@@ -94,3 +94,28 @@ def test_gc_metrics_summary_keys():
                       "auroc_offdiag", "variable_usage", "true_usage"}
     assert float(m["accuracy"]) == 1.0
     assert float(m["auroc"]) == 1.0
+
+
+def test_auto_threshold_log_gap():
+    from vae_connexe_tpu.evals import auto_threshold
+
+    # Bimodal scores: pruned ~0 vs edges O(1); within-edge gaps larger in
+    # absolute terms than the floor..edge gap would be in linear space.
+    scores = jnp.array([[0.0, 1e-7, 0.5], [2.5, 0.0, 0.4], [1e-9, 0.3, 9.0]])
+    thr = float(auto_threshold(scores))
+    est = np.asarray(scores) > thr
+    expected = np.asarray(scores) > 0.1
+    np.testing.assert_array_equal(est, expected)
+
+
+def test_auto_threshold_exclude_diagonal():
+    from vae_connexe_tpu.evals import auto_threshold
+
+    # Huge self-edges must not shift the boundary when excluded.
+    scores = jnp.eye(4) * 100.0 + jnp.array(
+        [[0, 0.5, 0, 0], [0, 0, 0.4, 0], [0, 0, 0, 0.6], [0.3, 0, 0, 0]])
+    thr = float(auto_threshold(scores, exclude_diagonal=True))
+    off = ~np.eye(4, dtype=bool)
+    est = np.asarray(scores)[off] > thr
+    expected = np.asarray(scores)[off] > 0.1
+    np.testing.assert_array_equal(est, expected)

@@ -219,8 +219,14 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         gc_est = model.gc(best, threshold=True)
         results["phase1"] = m1
         if truth is not None:
+            from vae_connexe_tpu.evals import auto_threshold
+
             results["gc"] = {k: float(v) for k, v in
                              gc_metrics(truth, scores, exp.gc_threshold).items()}
+            thr_auto = float(auto_threshold(scores))
+            results["gc_auto"] = {"threshold": thr_auto,
+                                  **{k: float(v) for k, v in
+                                     gc_metrics(truth, scores, thr_auto).items()}}
             results["threshold_sweep"] = _sweep(truth, scores)
         if out:
             np.save(out / f"GC_{name}.npy", np.asarray(gc_est))

@@ -90,6 +90,32 @@ def threshold_sweep(gc_true: jax.Array, scores: jax.Array,
     return jax.vmap(one)(thresholds)
 
 
+def auto_threshold(scores: jax.Array, exclude_diagonal: bool = False,
+                   floor: float = 1e-8) -> jax.Array:
+    """Pick a binarization threshold from the scores alone: the geometric
+    midpoint of the largest *log-space* gap between consecutive sorted
+    scores.
+
+    Group-lasso training drives non-edges toward exactly zero while real
+    edges keep O(1) norms — the separation between the modes is
+    multiplicative (orders of magnitude), whereas gaps *within* the edge
+    mode (e.g. strong self-edges vs weaker cross-edges) are additive, so a
+    linear-gap rule mis-splits inside the edges.  Zeroed scores clamp to
+    ``floor`` before the log.  The reference leaves thresholding to manual
+    sweeps (``CR-VAE.py:437-443``); this is the unsupervised default.
+    """
+    s = scores.reshape(-1)
+    if exclude_diagonal:
+        p = scores.shape[0]
+        mask = ~jnp.eye(p, dtype=bool).reshape(-1)
+        # Push diagonal entries onto the minimum so they never widen a gap.
+        s = jnp.where(mask, s, s.min())
+    log_s = jnp.sort(jnp.log(jnp.clip(s, min=floor)))
+    gaps = log_s[1:] - log_s[:-1]
+    i = jnp.argmax(gaps)
+    return jnp.exp((log_s[i] + log_s[i + 1]) / 2.0)
+
+
 def gc_metrics(gc_true: jax.Array, scores: jax.Array, threshold: float = 0.0):
     """One-call summary dict: accuracy/P/R/F1 at ``threshold`` plus AUROC
     (full and off-diagonal) and variable usage."""
