@@ -59,3 +59,28 @@ def test_sharded_phase2_matches_single_device(eight_devices):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=1e-6)
     assert np.isfinite(float(metrics["loss_e"]))
+
+
+def test_sharded_phase2_cs_trains_prior(eight_devices):
+    from vae_connexe_tpu.models.gmm_prior import init_gmm_prior
+
+    p = 4
+    model = CRVAE(p=p, hidden=16, enc_len=6)
+    err_model = ErrorVAE(d=p, hidden=16)
+    cfg = Phase2Config(batch_size=32, latent_reg="cs", lambda_cs=0.1,
+                       gmm_components=3)
+    parents = jnp.ones((p, p), jnp.float32)
+    err_opt = optax.adam(cfg.lr_error)
+    mesh = make_mesh(n_dp=4, n_ep=2, devices=eight_devices)
+    step, param_shard, batch_shard = make_sharded_phase2_step(
+        model, err_model, cfg, mesh, parents, err_opt)
+    params = jax.device_put(model.init(jax.random.key(0)), param_shard)
+    prior = init_gmm_prior(jax.random.key(1), 3, model.hidden)
+    err_params = err_model.init(jax.random.key(2))
+    batch = jax.device_put(
+        jax.random.normal(jax.random.key(3), (32, 12, p)), batch_shard)
+    new_p, new_prior, new_e, new_s, metrics = step(
+        params, prior, err_params, err_opt.init(err_params), batch,
+        jax.random.key(4))
+    assert np.isfinite(float(metrics["mean_loss"]))
+    assert not np.allclose(np.asarray(new_prior.mu), np.asarray(prior.mu))

@@ -89,26 +89,43 @@ def _cmd_eval(args):
     from vae_connexe_tpu.configs import get_experiment
     from vae_connexe_tpu.configs.experiments import _make_dataset, _sweep
     from vae_connexe_tpu.evals import gc_metrics
-    from vae_connexe_tpu.models import CRVAE
+    from vae_connexe_tpu.models import CRVAE, WInCRVAE
     from vae_connexe_tpu.utils import load_gc, restore_checkpoint
 
     exp = get_experiment(args.experiment)
-    if exp.model_family != "crvae":
-        sys.exit("eval currently supports crvae-family experiments")
-    model = CRVAE(p=exp.p, hidden=exp.hidden)
-    params = restore_checkpoint(args.checkpoint, model.init(jax.random.key(0)))
-    gc = jnp.asarray(load_gc(args.checkpoint), jnp.float32)
-
     results = {"experiment": args.experiment, "checkpoint": args.checkpoint}
-    _, truth = _make_dataset(exp, jax.random.key(args.seed))
-    scores = model.gc(params, parents=gc, threshold=False)
+    series, truth = _make_dataset(exp, jax.random.key(args.seed))
+
+    if exp.model_family == "crvae":
+        model = CRVAE(p=exp.p, hidden=exp.hidden)
+        params = restore_checkpoint(args.checkpoint,
+                                    model.init(jax.random.key(0)))
+        gc = jnp.asarray(load_gc(args.checkpoint), jnp.float32)
+        scores = model.gc(params, parents=gc, threshold=False)
+        if args.generate:
+            roll = model.rollout(params, jax.random.key(args.seed + 1),
+                                 args.generate, parents=gc)
+    elif exp.model_family == "win":
+        model = WInCRVAE(d=exp.p, hidden=exp.hidden, latent=exp.latent,
+                         tau=exp.tau)
+        params = restore_checkpoint(args.checkpoint,
+                                    model.init(jax.random.key(0)))
+        scores = model.granger_matrix(params, threshold=False)
+        if args.generate:
+            if series.ndim == 2:
+                ctx = series[None, : 2 * exp.tau, :]
+            else:
+                ctx = series[:1, : 2 * exp.tau, :]
+            ctx = jnp.broadcast_to(ctx, (args.generate,) + ctx.shape[1:])
+            roll = model.generate(params, ctx, jax.random.key(args.seed + 1), 20)
+    else:
+        sys.exit(f"eval does not support the {exp.model_family!r} family")
+
     if truth is not None:
         results["gc"] = {k: float(v) for k, v in
                          gc_metrics(truth, scores, exp.gc_threshold).items()}
         results["threshold_sweep"] = _sweep(truth, scores)
     if args.generate:
-        roll = model.rollout(params, jax.random.key(args.seed + 1),
-                             args.generate, parents=gc)
         results["generated_shape"] = list(roll.shape)
         if args.out:
             np.save(args.out, np.asarray(roll))

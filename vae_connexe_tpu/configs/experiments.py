@@ -316,6 +316,11 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         if out:
             np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))
             np.save(out / f"syn_{name}.npy", np.asarray(gen))
+        if save_checkpoints and out:
+            from vae_connexe_tpu.utils import save_checkpoint
+            gc_bin = model.granger_matrix(params, thr=exp.win.prune_threshold)
+            save_checkpoint(str(out / "ckpt_win"), params,
+                            gc_matrix=np.asarray(gc_bin))
 
     elif exp.model_family == "vrae":
         from vae_connexe_tpu.models import VRAE

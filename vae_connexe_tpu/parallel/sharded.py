@@ -96,32 +96,29 @@ def make_sharded_phase2_step(model: CRVAE, err_model, cfg, mesh: Mesh,
     projection (heads on ep, batch on dp) plus Adam on the replicated error
     VAE against the stop-gradient residuals.
 
-    Returns (jitted step, crvae param sharding, batch sharding); the step's
-    signature is (params, err_params, err_opt_state, batch, key) ->
-    (params, err_params, err_opt_state, metrics).
+    Returns (jitted step, crvae param sharding, batch sharding).  Signature
+    for KL configs: (params, err_params, err_opt_state, batch, key) ->
+    (params, err_params, err_opt_state, metrics); CS configs
+    (``cfg.latent_reg == 'cs'``, the CR-CS-RAE hybrid) take and return a
+    replicated, jointly-trained GMM prior after ``params``.
     """
     import optax
 
     from vae_connexe_tpu.losses.kl import kl_gaussian
-
-    if getattr(cfg, "latent_reg", "kl") == "cs":
-        raise NotImplementedError(
-            "sharded phase-2 with latent_reg='cs' is not wired yet — use the "
-            "single-device fit_phase2 (which trains the GMM prior) or "
-            "latent_reg='kl' here")
 
     param_shard = jax.tree.map(lambda spec: NamedSharding(mesh, spec),
                                crvae_param_spec(),
                                is_leaf=lambda x: isinstance(x, P))
     batch_shard = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
+    with_prior = getattr(cfg, "latent_reg", "kl") == "cs"
 
-    def step(params, err_params, err_opt_state, batch, key):
+    def update(params, prior, err_params, err_opt_state, batch, key):
         k_z, k_e = jax.random.split(key)
         target = batch[:, model.enc_len:, :]
 
-        def loss_fn(prms, eprms):
-            main_loss, aux = _crvae_loss(model, cfg, prms, None, batch, k_z,
+        def loss_fn(prms, pri, eprms):
+            main_loss, aux = _crvae_loss(model, cfg, prms, pri, batch, k_z,
                                          parents, cfg.beta)
             error = jax.lax.stop_gradient(target - aux["pred"])
             err_recon, mu_e, logvar_e = err_model.forward(eprms, error, k_e)
@@ -130,15 +127,31 @@ def make_sharded_phase2_step(model: CRVAE, err_model, cfg, mesh: Mesh,
             return main_loss + smooth_e, {"mean_loss": aux["mean_loss"],
                                           "loss_e": smooth_e}
 
-        (_, metrics), (g_params, g_err) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, err_params)
+        (_, metrics), (g_params, g_prior, g_err) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(params, prior, err_params)
         params = jax.tree.map(lambda p, g: p - cfg.lr * g, params, g_params)
+        prior = (None if prior is None else
+                 jax.tree.map(lambda p, g: p - cfg.lr * g, prior, g_prior))
         params = _project_and_prox(params, parents, 0.0, cfg.lr)
         updates, err_opt_state = err_opt.update(g_err, err_opt_state, err_params)
         err_params = optax.apply_updates(err_params, updates)
-        return params, err_params, err_opt_state, metrics
+        return params, prior, err_params, err_opt_state, metrics
 
-    jitted = jax.jit(step,
-                     in_shardings=(param_shard, rep, rep, batch_shard, rep),
-                     out_shardings=(param_shard, rep, rep, rep))
+    if with_prior:
+        def step_cs(params, prior, err_params, err_opt_state, batch, key):
+            return update(params, prior, err_params, err_opt_state, batch, key)
+
+        jitted = jax.jit(step_cs,
+                         in_shardings=(param_shard, rep, rep, rep,
+                                       batch_shard, rep),
+                         out_shardings=(param_shard, rep, rep, rep, rep))
+    else:
+        def step_kl(params, err_params, err_opt_state, batch, key):
+            params, _, err_params, err_opt_state, metrics = update(
+                params, None, err_params, err_opt_state, batch, key)
+            return params, err_params, err_opt_state, metrics
+
+        jitted = jax.jit(step_kl,
+                         in_shardings=(param_shard, rep, rep, batch_shard, rep),
+                         out_shardings=(param_shard, rep, rep, rep))
     return jitted, param_shard, batch_shard
