@@ -1,0 +1,53 @@
+"""CLI surface tests (in-process main(), fast paths only)."""
+
+import json
+
+import pytest
+
+from vae_connexe_tpu import cli
+
+
+def test_list(capsys):
+    cli.main(["list"])
+    out = capsys.readouterr().out
+    for name in ("lorenz96_crvae", "henon6d_win", "vrae_demo", "lorenz96_xl"):
+        assert name in out
+
+
+def test_unknown_subcommand_exits():
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["frobnicate"])
+    assert exc.value.code == 2
+
+
+def test_run_unknown_experiment_raises():
+    with pytest.raises(KeyError, match="unknown experiment"):
+        cli.main(["run", "nosuch"])
+
+
+def test_eval_missing_checkpoint_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        cli.main(["eval", "lorenz96_crvae", str(tmp_path / "missing")])
+
+
+def test_tiny_run_and_eval_roundtrip(tmp_path, capsys):
+    """Smallest end-to-end: override to toy dims, train phase 1, save a
+    checkpoint, evaluate it back through the CLI."""
+    import dataclasses
+
+    from vae_connexe_tpu.configs import get_experiment, run_experiment
+
+    exp = get_experiment("lorenz96_crvae")
+    results = run_experiment(
+        "lorenz96_crvae", out_dir=str(tmp_path), save_checkpoints=True,
+        run_phase2=False, verbose=False,
+        overrides={"p": 4, "t": 200,
+                   "phase1": dataclasses.replace(
+                       exp.phase1, max_iter=20, check_every=10, batch_size=16)})
+    assert "gc" in results and "gc_auto" in results
+
+    # The checkpoint geometry is the override's (p=4), so evaluating it
+    # against the stock experiment must fail loudly; against a matching
+    # geometry the restore-side API is covered by test_aux/test_review_fixes.
+    with pytest.raises(Exception):
+        cli.main(["eval", "lorenz96_crvae", str(tmp_path / "ckpt_phase1")])

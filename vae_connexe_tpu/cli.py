@@ -118,6 +118,17 @@ def _cmd_eval(args):
                 ctx = series[:1, : 2 * exp.tau, :]
             ctx = jnp.broadcast_to(ctx, (args.generate,) + ctx.shape[1:])
             roll = model.generate(params, ctx, jax.random.key(args.seed + 1), 20)
+    elif exp.model_family == "vrae":
+        from vae_connexe_tpu.models import VRAE
+
+        model = VRAE(input_dim=exp.p, hidden_dim=exp.hidden,
+                     latent_dim=exp.latent, output_activation="tanh")
+        params = restore_checkpoint(args.checkpoint,
+                                    model.init(jax.random.key(0)))
+        scores = truth = None   # no causal graph for the plain VRAE
+        if args.generate:
+            roll = model.sample(params, jax.random.key(args.seed + 1),
+                                args.generate, exp.t)
     else:
         sys.exit(f"eval does not support the {exp.model_family!r} family")
 

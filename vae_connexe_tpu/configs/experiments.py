@@ -340,6 +340,9 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         results["generated_shape"] = list(samples.shape)
         if out:
             np.save(out / f"syn_{name}.npy", np.asarray(samples))
+        if save_checkpoints and out:
+            from vae_connexe_tpu.utils import save_checkpoint
+            save_checkpoint(str(out / "ckpt_vrae"), params)
     else:
         raise ValueError(f"unknown model family {exp.model_family!r}")
 
