@@ -58,6 +58,16 @@ EXPERIMENTS: dict[str, Experiment] = {
         phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=5000, batch_size=256),
         phase2=Phase2Config(lr=5e-2, max_iter=10000, batch_size=256),
         notes="canonical reference workload"),
+    # Same workload with λ=0.2: a measured improvement over the reference
+    # literal (binary F1 0.95 vs 0.87 at unchanged AUROC 1.0 — RESULTS.md
+    # λ-sweep).  lorenz96_crvae stays at the reference λ=0.1 for parity;
+    # this is the recommended config for actual use.
+    "lorenz96_crvae_tuned": Experiment(
+        name="lorenz96_crvae_tuned", model_family="crvae", dataset="lorenz96",
+        p=10, t=2048, context=20, hidden=64,
+        phase1=Phase1Config(lam=0.2, lr=5e-2, max_iter=5000, batch_size=256),
+        phase2=Phase2Config(lr=5e-2, max_iter=10000, batch_size=256),
+        notes="recommended: tuned group-lasso weight"),
     # author_CRVAE.py:728 (1000-step 2-D Hénon), :751-753 (λ=.1, 1000 it).
     "henon_author": Experiment(
         name="henon_author", model_family="crvae", dataset="henon",
