@@ -147,3 +147,18 @@ def test_csrae_loss_components():
     assert float(cs) >= 0.0
     logits, mu, logvar = c.forward(p, x, jax.random.key(3))
     assert logits.shape == (10, 16) and mu.shape == (10, 6)
+
+
+def test_crvae_conditioned_rollout(crvae):
+    model, params = crvae
+    ctx = jax.random.normal(jax.random.key(20), (6, 20, 5))
+    out = model.conditioned_rollout(params, ctx, jax.random.key(21))
+    assert out.shape == (6, 21, 5)
+    assert bool(jnp.isfinite(out).all())
+    # Conditioning matters: different contexts give different continuations.
+    out2 = model.conditioned_rollout(params, ctx + 1.0, jax.random.key(21))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # Noise injection mirrors the cold-start rollout contract.
+    noisy = model.conditioned_rollout(params, ctx, jax.random.key(21),
+                                      noise=jnp.ones((6, 21, 5)))
+    assert not np.allclose(np.asarray(out), np.asarray(noisy))

@@ -176,6 +176,47 @@ class CRVAE:
         _, seq = jax.lax.scan(step, (x0, h0), jnp.swapaxes(noise, 0, 1))
         return jnp.swapaxes(seq, 0, 1)
 
+    def conditioned_rollout(self, params: CRVAEParams, x_context: jax.Array,
+                            key: jax.Array, noise: Optional[jax.Array] = None,
+                            parents: Optional[jax.Array] = None,
+                            length: Optional[int] = None) -> jax.Array:
+        """Generation conditioned on a real context window.
+
+        The reference's author-variant rollout always cold-starts from
+        x₀ = 0 and h₀ ~ N(0, I) (``author_CRVAE.py:227-228``), which puts
+        early samples off-manifold; its W_in variant shows the conditioned
+        alternative (``CRVAE.py:105-123``).  This is that mode for the
+        author parameterization: encode the context exactly as in training,
+        use z as every head's initial hidden state, and continue from the
+        context's last observation.
+
+        x_context: (B, T ≥ enc_len, p).  Returns (B, length, p).
+        """
+        if x_context.shape[1] < self.enc_len:
+            raise ValueError(
+                f"context length {x_context.shape[1]} must be >= "
+                f"enc_len={self.enc_len} to condition the latent")
+        steps = self.rollout_len if length is None else length
+        heads = params.heads if parents is None else masked_heads(params.heads, parents)
+        k_z = key
+        mu, logvar = self.encode(params, x_context)
+        z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(k_z, mu.shape, mu.dtype)
+        h0 = jnp.broadcast_to(z, (self.p,) + z.shape)
+        x0 = x_context[:, -1, :]
+        if noise is None:
+            noise = jnp.zeros((x0.shape[0], steps, self.p))
+
+        def step(carry, noise_t):
+            x_last, h = carry
+            h_new = gru_step_heads(heads, x_last, h)
+            out = jnp.einsum("pbh,poh->pbo", h_new, params.readout.w) \
+                + params.readout.b[:, None, :]
+            x_t = out[..., 0].T + self.noise_scale * noise_t
+            return (x_t, h_new), x_t
+
+        _, seq = jax.lax.scan(step, (x0, h0), jnp.swapaxes(noise, 0, 1))
+        return jnp.swapaxes(seq, 0, 1)
+
     # ---------------- causal graph ----------------
 
     def gc(self, params: CRVAEParams, parents: Optional[jax.Array] = None,
