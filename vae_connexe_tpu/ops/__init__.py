@@ -1,5 +1,6 @@
 """Compute kernels: GRU recurrences (lax.scan reference path + Pallas fused path)."""
 
+from vae_connexe_tpu.ops.dispatch import gru_sequence, heads_recurrence, set_fused
 from vae_connexe_tpu.ops.gru import (
     GRUParams,
     gru_cell,
@@ -27,7 +28,9 @@ __all__ = [
     "gru_cell",
     "gru_scan",
     "gru_scan_heads",
+    "gru_sequence",
     "gru_step_heads",
+    "heads_recurrence",
     "init_gru",
     "init_lstm_cell",
     "init_rnn_cell",
@@ -36,4 +39,5 @@ __all__ = [
     "lstm_scan",
     "rnn_cell",
     "rnn_scan",
+    "set_fused",
 ]
