@@ -69,11 +69,13 @@ def main():
                         best_loss=jnp.array(jnp.inf), key=jax.random.key(2),
                         step=jnp.zeros([], jnp.int32))
 
+    m = None
     for _ in range(args.warmup_chunks):
         state, m = run_chunk(state)
     # Scalar fetch, not block_until_ready: the relay can return early from
     # the latter, which would leak warmup work into the timed window.
-    _ = float(m["loss"][-1])
+    if m is not None:
+        _ = float(m["loss"][-1])
 
     n_chunks = max(1, args.steps // chunk_len)
     t0 = time.perf_counter()

@@ -162,3 +162,22 @@ def test_crvae_conditioned_rollout(crvae):
     noisy = model.conditioned_rollout(params, ctx, jax.random.key(21),
                                       noise=jnp.ones((6, 21, 5)))
     assert not np.allclose(np.asarray(out), np.asarray(noisy))
+
+
+def test_conditioned_rollout_uses_recent_context():
+    """The latent must come from the LAST enc_len steps: a long context
+    whose head differs but whose tail matches must condition identically."""
+    model = CRVAE(p=3, hidden=8)
+    params = model.init(jax.random.key(0))
+    tail = jax.random.normal(jax.random.key(1), (4, 10, 3))
+    head_a = jax.random.normal(jax.random.key(2), (4, 50, 3))
+    head_b = head_a + 5.0
+    ctx_a = jnp.concatenate([head_a, tail], axis=1)
+    ctx_b = jnp.concatenate([head_b, tail], axis=1)
+    out_a = model.conditioned_rollout(params, ctx_a, jax.random.key(3))
+    out_b = model.conditioned_rollout(params, ctx_b, jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    # And a different TAIL must change the continuation.
+    ctx_c = jnp.concatenate([head_a, tail + 1.0], axis=1)
+    out_c = model.conditioned_rollout(params, ctx_c, jax.random.key(3))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_c))

@@ -80,8 +80,6 @@ def _cmd_sweep(args):
 
 def _cmd_eval(args):
     """Load a phase-1 checkpoint and re-evaluate / generate without training."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -38,7 +38,12 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _LIB_DIR / "window_loader.cc"
+    # Rebuild when missing OR stale: a .so from an older source revision can
+    # have a different ABI (wl_num_windows gained a flag) and would load
+    # silently with wrong behavior.
+    if not _LIB_PATH.exists() or (src.exists() and
+                                  src.stat().st_mtime > _LIB_PATH.stat().st_mtime):
         _build()
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.wl_open.restype = ctypes.c_void_p

@@ -144,26 +144,11 @@ class CRVAE:
 
     # ---------------- generation ----------------
 
-    def rollout(self, params: CRVAEParams, key: jax.Array, batch: int,
-                noise: Optional[jax.Array] = None,
-                parents: Optional[jax.Array] = None,
-                length: Optional[int] = None) -> jax.Array:
-        """Free-running generation (the reference's ``mode='test'``).
-
-        Starts from x₀ = 0 with one shared random h₀ for all heads; each of
-        ``length`` steps runs every head one GRU step on the previous output.
-        ``noise``: optional (B, length, p) error-VAE sequence added as
-        ``noise_scale * noise_t`` to each emitted step (phase-2 compensation,
-        ``author_CRVAE.py:284-286``) — the compensated value feeds the next
-        step.  Returns (B, length, p).
-        """
-        steps = self.rollout_len if length is None else length
-        heads = params.heads if parents is None else masked_heads(params.heads, parents)
-        h0 = jax.random.normal(key, (batch, self.hidden))
-        h0 = jnp.broadcast_to(h0, (self.p, batch, self.hidden))
-        x0 = jnp.zeros((batch, self.p))
-        if noise is None:
-            noise = jnp.zeros((batch, steps, self.p))
+    def _free_run(self, params: CRVAEParams, heads: GRUParams, x0: jax.Array,
+                  h0: jax.Array, noise: jax.Array) -> jax.Array:
+        """Shared generation core: scan every head one GRU step per emitted
+        value, injecting ``noise_scale * noise_t`` (the compensated value
+        feeds the next step, ``author_CRVAE.py:284-286``)."""
 
         def step(carry, noise_t):
             x_last, h = carry
@@ -175,6 +160,27 @@ class CRVAE:
 
         _, seq = jax.lax.scan(step, (x0, h0), jnp.swapaxes(noise, 0, 1))
         return jnp.swapaxes(seq, 0, 1)
+
+    def rollout(self, params: CRVAEParams, key: jax.Array, batch: int,
+                noise: Optional[jax.Array] = None,
+                parents: Optional[jax.Array] = None,
+                length: Optional[int] = None) -> jax.Array:
+        """Free-running generation (the reference's ``mode='test'``).
+
+        Starts from x₀ = 0 with one shared random h₀ for all heads; each of
+        ``length`` steps runs every head one GRU step on the previous output.
+        ``noise``: optional (B, length, p) error-VAE sequence added as
+        ``noise_scale * noise_t`` to each emitted step (phase-2 compensation,
+        ``author_CRVAE.py:284-286``).  Returns (B, length, p).
+        """
+        steps = self.rollout_len if length is None else length
+        heads = params.heads if parents is None else masked_heads(params.heads, parents)
+        h0 = jax.random.normal(key, (batch, self.hidden))
+        h0 = jnp.broadcast_to(h0, (self.p, batch, self.hidden))
+        x0 = jnp.zeros((batch, self.p))
+        if noise is None:
+            noise = jnp.zeros((batch, steps, self.p))
+        return self._free_run(params, heads, x0, h0, noise)
 
     def conditioned_rollout(self, params: CRVAEParams, x_context: jax.Array,
                             key: jax.Array, noise: Optional[jax.Array] = None,
@@ -198,24 +204,17 @@ class CRVAE:
                 f"enc_len={self.enc_len} to condition the latent")
         steps = self.rollout_len if length is None else length
         heads = params.heads if parents is None else masked_heads(params.heads, parents)
-        k_z = key
-        mu, logvar = self.encode(params, x_context)
-        z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(k_z, mu.shape, mu.dtype)
+        # Encode the LAST enc_len steps so the latent summarizes the state
+        # the continuation starts from (the W_in reference's convention,
+        # ``CRVAE.py:108``) — encoding the window head would condition on a
+        # stale latent for long contexts.
+        mu, logvar = self.encode(params, x_context[:, -self.enc_len:, :])
+        z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(key, mu.shape, mu.dtype)
         h0 = jnp.broadcast_to(z, (self.p,) + z.shape)
         x0 = x_context[:, -1, :]
         if noise is None:
             noise = jnp.zeros((x0.shape[0], steps, self.p))
-
-        def step(carry, noise_t):
-            x_last, h = carry
-            h_new = gru_step_heads(heads, x_last, h)
-            out = jnp.einsum("pbh,poh->pbo", h_new, params.readout.w) \
-                + params.readout.b[:, None, :]
-            x_t = out[..., 0].T + self.noise_scale * noise_t
-            return (x_t, h_new), x_t
-
-        _, seq = jax.lax.scan(step, (x0, h0), jnp.swapaxes(noise, 0, 1))
-        return jnp.swapaxes(seq, 0, 1)
+        return self._free_run(params, heads, x0, h0, noise)
 
     # ---------------- causal graph ----------------
 

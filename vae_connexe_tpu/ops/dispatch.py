@@ -51,8 +51,6 @@ def gru_sequence(params: GRUParams, x, h0):
     """Single (unstacked) GRU sequence with the same dispatch policy —
     contract of ``ops.gru.gru_scan``.  Long sequences ride the fused kernel
     as a 1-head stack."""
-    import jax.numpy as jnp
-
     from vae_connexe_tpu.ops.gru import gru_scan
 
     if use_fused(x.shape[-2]):
