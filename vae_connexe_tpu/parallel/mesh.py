@@ -23,8 +23,20 @@ def make_mesh(n_dp: int | None = None, n_ep: int = 1,
               devices: list | None = None) -> Mesh:
     """Build a (dp, ep) mesh.  Defaults: all devices on dp."""
     devices = devices if devices is not None else jax.devices()
+    if n_ep < 1:
+        raise ValueError(f"n_ep must be >= 1, got {n_ep}")
     if n_dp is None:
+        if len(devices) % n_ep:
+            raise ValueError(
+                f"cannot infer n_dp: {len(devices)} devices not divisible by "
+                f"n_ep={n_ep}; pass n_dp explicitly or choose n_ep dividing "
+                f"the device count")
         n_dp = len(devices) // n_ep
+    if n_dp * n_ep > len(devices):
+        raise ValueError(
+            f"mesh ({n_dp} dp × {n_ep} ep) = {n_dp * n_ep} devices, but only "
+            f"{len(devices)} available — reduce the mesh or provision more "
+            f"devices (tests force 8 virtual CPU devices via XLA_FLAGS)")
     dev_array = np.asarray(devices[: n_dp * n_ep]).reshape(n_dp, n_ep)
     return Mesh(dev_array, axis_names=("dp", "ep"))
 

@@ -44,10 +44,19 @@ def sweep_phase1(model: CRVAE, windows: jax.Array, parents: jax.Array,
                 "best_loss": state.best_loss}
 
     fn = jax.vmap(train_one)
+    n_seeds = int(seeds.shape[0])
     if mesh is not None:
+        # Pad the seed axis to a dp multiple (pjit would otherwise fail with
+        # an opaque uneven-sharding error); the pad rows re-run the last seed
+        # and are sliced off below.
+        n_dp = mesh.shape["dp"]
+        pad = (-n_seeds) % n_dp
+        if pad:
+            seeds = jnp.concatenate([seeds, jnp.broadcast_to(seeds[-1], (pad,))])
         fn = jax.jit(fn,
                      in_shardings=NamedSharding(mesh, P("dp")),
                      out_shardings=NamedSharding(mesh, P("dp")))
     else:
         fn = jax.jit(fn)
-    return fn(seeds)
+    out = fn(seeds)
+    return jax.tree.map(lambda x: x[:n_seeds], out)
