@@ -5,8 +5,19 @@ batch=256, λ=0.1, lr=5e-2 — the exact reference configuration of
 ``CRVAE_lorenz96.py`` scaled to p=20.  The denominator is the measured
 PyTorch CPU anchor from BASELINE.md (7.618 steps/sec at p=20).
 
+Besides steps/sec the output carries analytic roofline accounting
+(VERDICT round 1, item 3): matmul FLOPs/step and a saved-activation +
+parameter-traffic HBM bytes/step lower bound, each reported as achieved
+FLOP/s and B/s and as % of the chip peaks, plus the roofline verdict
+(whether the step's arithmetic intensity puts its ceiling at the MXU or
+at HBM bandwidth).
+
+Scaled workloads: ``--workload longhorizon`` (ctx=128 — the fused Pallas
+decode path) and ``--workload xl`` (p=128) mirror the experiment configs in
+``configs/experiments.py``; ``--workload generate`` is serving throughput.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -20,25 +31,113 @@ import jax.numpy as jnp
 
 TORCH_CPU_BASELINE_P20 = 7.618  # steps/sec, BASELINE.md "Measured anchor"
 
+# Chip peaks for roofline accounting, keyed by jax device_kind.  v5e
+# (reported as "TPU v5 lite"): 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM
+# (public TPU v5e spec; the scaling-book numbers).  Compute here is f32 —
+# MFU is quoted against the bf16 peak, so f32 parity would cap near 50%.
+CHIP_PEAKS = {
+    "TPU v5 lite": {"flops": 197e12, "hbm_bytes": 819e9},
+    "TPU v5e": {"flops": 197e12, "hbm_bytes": 819e9},
+}
+
+# North-star + scaled workload definitions (mirrors configs/experiments.py:
+# lorenz96 reference-at-p20, lorenz96_longhorizon, lorenz96_xl).
+WORKLOADS = {
+    "train": dict(p=20, t=2048, context=20, hidden=64, batch=256),
+    "longhorizon": dict(p=10, t=4096, context=128, hidden=64, batch=128),
+    "xl": dict(p=128, t=8192, context=40, hidden=128, batch=64),
+}
+
+
+def phase1_flops_bytes(p: int, hidden: int, batch: int, ctx: int,
+                       enc_len: int = 10) -> tuple[float, float]:
+    """Analytic (flops, hbm_bytes) per phase-1 training step.
+
+    FLOPs: matmul-only (2mn per MAC matrix product), forward ×3 for
+    forward+backward (standard 1:2 fwd:bwd ratio); elementwise gate math,
+    the SGD update, and the prox are not counted (they are the bytes story,
+    not the flops story).
+
+    Bytes: a lower bound on HBM traffic — saved activations for the
+    backward pass (4 B·H f32 tensors per GRU cell step: r, z, n, h) written
+    once and read once, plus 5 passes over the parameters (fwd read, bwd
+    read, grad write, update read+write).  XLA fusion can only approach
+    this bound, not beat it.
+    """
+    H, B = hidden, batch
+    dec_len = ctx - enc_len
+    gru_cell_flops = 3 * 2 * H * (p + H)          # 3 gates, ih + hh matmuls
+    fwd_flops = B * (
+        enc_len * gru_cell_flops                  # encoder GRU
+        + 2 * 2 * H * H                           # fc_mu, fc_std
+        + p * dec_len * (gru_cell_flops + 2 * H)  # p heads + readout
+    )
+    flops = 3 * fwd_flops
+
+    f32 = 4
+    n_params = (
+        3 * H * (p + H) + 6 * H                   # encoder GRU (+biases)
+        + 2 * (H * H + H)                         # fc_mu, fc_std
+        + p * (3 * H * (p + H) + 6 * H + H + 1)   # heads + readouts
+    )
+    act_tensors = 4 * B * H * (enc_len + p * dec_len)   # r,z,n,h per step
+    hbm_bytes = f32 * (2 * act_tensors + 5 * n_params
+                       + 2 * B * ctx * p)         # batch read fwd+bwd
+    return float(flops), float(hbm_bytes)
+
+
+def roofline_fields(steps_per_sec: float, p: int, hidden: int, batch: int,
+                    ctx: int, device_kind: str) -> dict:
+    flops, hbm = phase1_flops_bytes(p, hidden, batch, ctx)
+    ai = flops / hbm
+    fields = {
+        "flops_per_step": flops,
+        "hbm_bytes_per_step_lb": hbm,
+        "achieved_tflops": round(steps_per_sec * flops / 1e12, 3),
+        "achieved_gbps_lb": round(steps_per_sec * hbm / 1e9, 1),
+        "arith_intensity": round(ai, 2),
+    }
+    peaks = CHIP_PEAKS.get(device_kind)
+    if peaks:
+        ridge = peaks["flops"] / peaks["hbm_bytes"]   # FLOP/B at the ridge
+        fields.update({
+            "mfu_pct": round(100 * steps_per_sec * flops / peaks["flops"], 2),
+            "hbm_pct_lb": round(100 * steps_per_sec * hbm / peaks["hbm_bytes"], 1),
+            "roofline_bound": "hbm" if ai < ridge else "mxu",
+            "roofline_ceiling_steps_per_sec": round(
+                min(peaks["flops"] / flops, peaks["hbm_bytes"] / hbm), 1),
+        })
+    return fields
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--p", type=int, default=20)
-    ap.add_argument("--t", type=int, default=2048)
-    ap.add_argument("--context", type=int, default=20)
-    ap.add_argument("--hidden", type=int, default=64)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--p", type=int, default=None)
+    ap.add_argument("--t", type=int, default=None)
+    ap.add_argument("--context", type=int, default=None)
+    ap.add_argument("--hidden", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=2000)
     # The axon relay's first ~5 post-compile dispatches run ~10x slow;
     # under-warming biases short measurements (see BASELINE.md notes).
     ap.add_argument("--warmup-chunks", type=int, default=6)
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
-    ap.add_argument("--workload", choices=["train", "generate"], default="train",
-                    help="train = phase-1 steps/sec (headline); generate = "
-                         "compensated-rollout serving throughput")
+    ap.add_argument("--workload",
+                    choices=["train", "longhorizon", "xl", "generate"],
+                    default="train",
+                    help="train = phase-1 steps/sec at p=20 (headline); "
+                         "longhorizon = ctx=128 fused decode path; "
+                         "xl = p=128; generate = rollout serving throughput")
     args = ap.parse_args()
     if args.quick:
         args.steps = 300
+
+    shape = dict(WORKLOADS.get(args.workload, WORKLOADS["train"]))
+    for k in ("p", "t", "context", "hidden", "batch"):
+        if getattr(args, k) is not None:
+            shape[k] = getattr(args, k)
+    args.p, args.t, args.context = shape["p"], shape["t"], shape["context"]
+    args.hidden, args.batch = shape["hidden"], shape["batch"]
 
     if args.workload == "generate":
         return bench_generate(args)
@@ -89,15 +188,24 @@ def main():
 
     steps_per_sec = n_chunks * chunk_len / dt
     device = jax.devices()[0]
-    print(json.dumps({
-        "metric": f"crvae_lorenz96_phase1_p{args.p}_steps_per_sec",
+    name = ("crvae_lorenz96_phase1_p20_steps_per_sec"
+            if args.workload == "train" and args.p == 20
+            else f"crvae_lorenz96_phase1_{args.workload}_p{args.p}"
+                 f"_ctx{args.context}_steps_per_sec")
+    out = {
+        "metric": name,
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / TORCH_CPU_BASELINE_P20, 2),
+        "vs_baseline": (round(steps_per_sec / TORCH_CPU_BASELINE_P20, 2)
+                        if args.workload == "train" else None),
         "device": str(device.device_kind),
         "timed_steps": n_chunks * chunk_len,
         "final_loss": final_loss,
-    }))
+    }
+    out.update(roofline_fields(steps_per_sec, args.p, args.hidden,
+                               args.batch, args.context,
+                               str(device.device_kind)))
+    print(json.dumps(out))
 
 
 def bench_generate(args):

@@ -8,6 +8,7 @@
 | var_crvae          | CR-VAE.py:355-453                     | VAR(1) d=5    |
 | lorenz96_crcsrae   | CR-CS-RAE.py:821-948                  | Lorenz-96 +CS |
 | vrae_demo          | VRAE.py:185-204                       | random seqs   |
+| csrae_binarized    | CS-RAE.py:115-155 (driverless in ref) | binarized L96 |
 | lorenz96_scaled    | BASELINE.json configs[4] (new)        | Lorenz-96 p=40|
 
 Hyperparameters are the reference's literals (each field cites its source
@@ -28,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vae_connexe_tpu.train.config import Phase1Config, Phase2Config, WInTrainConfig
+from vae_connexe_tpu.train.config import (CSRAETrainConfig, Phase1Config,
+                                           Phase2Config, WInTrainConfig)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +48,7 @@ class Experiment:
     phase1: Phase1Config = Phase1Config()
     phase2: Phase2Config = Phase2Config()
     win: WInTrainConfig = WInTrainConfig()
+    csrae: CSRAETrainConfig = CSRAETrainConfig()
     notes: str = ""
 
 
@@ -131,6 +134,17 @@ EXPERIMENTS: dict[str, Experiment] = {
         phase1=Phase1Config(lam=0.1, lr=5e-2, max_iter=2000, batch_size=128),
         phase2=Phase2Config(lr=5e-2, max_iter=2000, batch_size=128),
         notes="long-horizon windows (fused-kernel decode path)"),
+    # CS-RAE.py:115-155 model + loss contract (MLP 400, latent 20, K=10);
+    # the reference ships it driverless, so the dataset is this build's:
+    # binarized Lorenz-96 windows flattened to (N, ctx·p) Bernoulli vectors
+    # — structured enough for the GMM prior to have something to learn.
+    "csrae_binarized": Experiment(
+        name="csrae_binarized", model_family="csrae", dataset="lorenz96",
+        p=10, t=2048, context=20,
+        csrae=CSRAETrainConfig(hidden_dims=(400,), latent_dim=20, k=10,
+                               lambda_cs=1.0, epochs=30, batch_size=128,
+                               lr=1e-3),
+        notes="MixtureCSRAE on binarized Lorenz-96 windows"),
     "lorenz96_xl": Experiment(
         name="lorenz96_xl", model_family="crvae", dataset="lorenz96",
         p=128, t=8192, context=40, hidden=128,
@@ -331,6 +345,43 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             gc_bin = model.granger_matrix(params, thr=exp.win.prune_threshold)
             save_checkpoint(str(out / "ckpt_win"), params,
                             gc_matrix=np.asarray(gc_bin))
+
+    elif exp.model_family == "csrae":
+        from vae_connexe_tpu.data import arrange_input
+        from vae_connexe_tpu.models import MixtureCSRAE
+        from vae_connexe_tpu.train import fit_csrae
+
+        windows, _ = arrange_input(series, exp.context)
+        # Flatten to (N, ctx·p) and binarize at 0 (series is standardized
+        # per variable, so the split is balanced) — Bernoulli data for the
+        # BCE-with-logits decoder (``CS-RAE.py:128-135``).
+        flat = windows.reshape(windows.shape[0], -1)
+        x = (flat > 0).astype(jnp.float32)
+        cfgc = exp.csrae
+        model = MixtureCSRAE(input_dim=x.shape[-1],
+                             hidden_dims=cfgc.hidden_dims,
+                             latent_dim=cfgc.latent_dim, k=cfgc.k,
+                             lambda_cs=cfgc.lambda_cs,
+                             cs_variant=cfgc.cs_variant)
+        params = model.init(k_init)
+        init_total, init_bce, init_cs = model.loss(params, x[:512], k_run)
+        params, m = fit_csrae(model, params, x, k_run, epochs=cfgc.epochs,
+                              batch_size=cfgc.batch_size, lr=cfgc.lr,
+                              verbose=verbose, log_fn=log_fn)
+        results["train"] = m
+        results["initial"] = {"total": float(init_total),
+                              "bce": float(init_bce), "cs": float(init_cs)}
+        # Reconstruction accuracy on a held-out-ish slice (sanity metric).
+        logits, _, _ = model.forward(params, x[:512], k_gen)
+        results["recon_accuracy"] = float(
+            ((logits > 0).astype(jnp.float32) == x[:512]).mean())
+        samples = model.sample(params, k_gen, 64)
+        results["generated_shape"] = list(samples.shape)
+        if out:
+            np.save(out / f"syn_{name}.npy", np.asarray(samples))
+        if save_checkpoints and out:
+            from vae_connexe_tpu.utils import save_checkpoint
+            save_checkpoint(str(out / "ckpt_csrae"), params)
 
     elif exp.model_family == "vrae":
         from vae_connexe_tpu.models import VRAE

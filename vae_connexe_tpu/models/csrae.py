@@ -84,6 +84,18 @@ class MixtureCSRAE:
         z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(key, mu.shape, mu.dtype)
         return self.decode(params, z), mu, logvar
 
+    def sample(self, params: MixtureCSRAEParams, key: jax.Array,
+               n: int) -> jax.Array:
+        """Generate n samples: draw z from the learned equal-weight GMM prior
+        (uniform component choice, ``CS-RAE.py:47-61`` trains no weights),
+        decode, and return Bernoulli probabilities (n, input_dim)."""
+        k_comp, k_eps = jax.random.split(key)
+        comp = jax.random.randint(k_comp, (n,), 0, self.k)
+        mu = params.prior.mu[comp]
+        std = jnp.sqrt(params.prior.var[comp])
+        z = mu + std * jax.random.normal(k_eps, mu.shape, mu.dtype)
+        return jax.nn.sigmoid(self.decode(params, z))
+
     def loss(self, params: MixtureCSRAEParams, x: jax.Array, key: jax.Array):
         """(total, recon, cs) — BCE-with-logits/B + λ_cs · mean CS divergence."""
         logits, mu, logvar = self.forward(params, x, key)

@@ -78,3 +78,20 @@ class WInTrainConfig:
     # (``CR-VAE.py:341-346``); CRVAE.py's Adam excludes W_in entirely
     # (``CRVAE.py:158-159``), freezing it.
     update_w_in_stage2: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CSRAETrainConfig:
+    """Trainer config for the MixtureCSRAE (``CS-RAE.py:115-155`` defines
+    the model + loss contract; the reference ships no driver, so the
+    defaults here are its model literals — MLP hidden 400, latent 20, K=10
+    components — with an ordinary Adam minibatch schedule)."""
+
+    hidden_dims: tuple[int, ...] = (400,)
+    latent_dim: int = 20
+    k: int = 10                     # GMM prior components (``CS-RAE.py:24``)
+    lambda_cs: float = 1.0
+    cs_variant: str = "symmetric"   # CS-RAE.py vs CSRAE_new.py ∫p² convention
+    epochs: int = 30
+    batch_size: int = 128
+    lr: float = 1e-3
