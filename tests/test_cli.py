@@ -51,3 +51,27 @@ def test_tiny_run_and_eval_roundtrip(tmp_path, capsys):
     # geometry the restore-side API is covered by test_aux/test_review_fixes.
     with pytest.raises(Exception):
         cli.main(["eval", "lorenz96_crvae", str(tmp_path / "ckpt_phase1")])
+
+
+def test_run_emits_full_figure_ritual(tmp_path):
+    """Two-phase run with out_dir emits the reference's full distribution-
+    match ritual: PCA + t-SNE + trajectory for the cold-start rollout and
+    PCA + t-SNE for the conditioned mode, plus both moment-gap metrics."""
+    import dataclasses
+
+    from vae_connexe_tpu.configs import get_experiment, run_experiment
+
+    exp = get_experiment("lorenz96_crvae")
+    results = run_experiment(
+        "lorenz96_crvae", out_dir=str(tmp_path), verbose=False,
+        overrides={"p": 4, "t": 200,
+                   "phase1": dataclasses.replace(
+                       exp.phase1, max_iter=20, check_every=10, batch_size=16),
+                   "phase2": dataclasses.replace(
+                       exp.phase2, max_iter=20, check_every=10, batch_size=16)})
+    assert "generation_moment_gap" in results
+    assert "generation_moment_gap_conditioned" in results
+    for f in ("pca_lorenz96_crvae.png", "tsne_lorenz96_crvae.png",
+              "traj_lorenz96_crvae.png", "pca_cond_lorenz96_crvae.png",
+              "tsne_cond_lorenz96_crvae.png", "syn_cond_lorenz96_crvae.npy"):
+        assert (tmp_path / f).exists(), f

@@ -298,7 +298,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                                             log_fn=log_fn, callback=callback)
             results["phase2"] = m2
             gen = generate_with_compensation(model, err_model, best2, err2,
-                                             k_gen, 64, parents=mask)
+                                             k_gen, 256, parents=mask)
             results["generated_shape"] = list(gen.shape)
             from vae_connexe_tpu.evals import moment_match
             mm = moment_match(windows, gen)
@@ -306,8 +306,40 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 "mean_abs_gap": float(mm["mean_abs_gap"].mean()),
                 "std_abs_gap": float(mm["std_abs_gap"].mean()),
             }
+            # Conditioned (on-manifold) generation next to the cold start:
+            # encode real contexts, continue with error compensation — the
+            # mode the reference's W_in variant demonstrates (CRVAE.py:105-123).
+            k_c1, k_c2 = jax.random.split(jax.random.fold_in(k_gen, 1))
+            ctxs = windows[:256, : model.enc_len, :]
+            noise_c = err_model.sample(err2, k_c1, ctxs.shape[0],
+                                       model.rollout_len)
+            cond = model.conditioned_rollout(best2, ctxs, k_c2, noise=noise_c,
+                                             parents=mask)
+            mm_c = moment_match(windows, cond)
+            results["generation_moment_gap_conditioned"] = {
+                "mean_abs_gap": float(mm_c["mean_abs_gap"].mean()),
+                "std_abs_gap": float(mm_c["std_abs_gap"].mean()),
+            }
             if out:
                 np.save(out / f"syn_{name}.npy", np.asarray(gen))
+                np.save(out / f"syn_cond_{name}.npy", np.asarray(cond))
+                # The reference's distribution-match ritual is PCA AND t-SNE
+                # (author_CRVAE.py:376-456); emit both, for both modes.
+                from vae_connexe_tpu.evals.viz import (pca_comparison,
+                                                       trajectory_overlay,
+                                                       tsne_comparison)
+                t_cmp = min(model.rollout_len,
+                            windows.shape[1] - model.enc_len)
+                ori = np.asarray(
+                    windows[:256, model.enc_len: model.enc_len + t_cmp, :])
+                syn_np = np.asarray(gen[:, :t_cmp, :])
+                cond_np = np.asarray(cond[:, :t_cmp, :])
+                pca_comparison(ori, syn_np, str(out / f"pca_{name}.png"))
+                tsne_comparison(ori, syn_np, str(out / f"tsne_{name}.png"))
+                trajectory_overlay(ori, syn_np, str(out / f"traj_{name}.png"))
+                pca_comparison(ori, cond_np, str(out / f"pca_cond_{name}.png"))
+                tsne_comparison(ori, cond_np,
+                                str(out / f"tsne_cond_{name}.png"))
             if save_checkpoints and out:
                 from vae_connexe_tpu.utils import save_checkpoint
                 save_checkpoint(str(out / "ckpt_phase2"),
