@@ -9,11 +9,15 @@ Decomposition (see pallas_guide.md):
    dependence and XLA already schedules it perfectly.
 2. The sequential part — the per-step (B, H) @ (H, 3H) hidden projection
    plus VPU gate math per head — runs as a Pallas kernel over a
-   (head, batch-tile, time-tile) grid.  The rightmost grid dimension
-   iterates **sequentially** on TPU, so the hidden state lives in VMEM
-   scratch and carries across time tiles with no HBM round trips; per-step
-   outputs stream to the output blocks.  Time tiling bounds VMEM at any
-   sequence length (a whole-T block OOMs past T ≈ 100 at H=128).
+   (head-tile, batch-tile, time-tile) grid.  The TPU grid iterates
+   **sequentially**, so the hidden state lives in VMEM scratch and carries
+   across time tiles with no HBM round trips; per-step outputs stream to
+   the output blocks.  Time tiling bounds VMEM at any sequence length (a
+   whole-T block OOMs past T ≈ 100 at H=128).  Up to ``_PH_MAX`` heads are
+   packed per program and statically unrolled: their per-step dots are
+   independent and pipeline through the MXU, cutting the sequential
+   dependency chain from p·T to (p/ph)·T small matmuls (measured +10%
+   end-to-end on the longhorizon training workload, 403 → 445 steps/s).
 
 A custom VJP makes the fused path trainable: the backward kernel replays
 the recurrence in reverse (the time-tile grid axis is index-mapped back to
@@ -40,34 +44,46 @@ from jax.experimental.pallas import tpu as pltpu
 from vae_connexe_tpu.ops.gru import GRUParams
 
 _VMEM_BUDGET = 10 * 1024 * 1024   # leave headroom under ~16MB VMEM
+_PH_MAX = 16                      # max heads unrolled per kernel program
 
 
 def _divisors_desc(n: int):
     return [d for d in range(n, 0, -1) if n % d == 0]
 
 
-def _pick_tiles(b: int, t: int, hidden: int, stream_h_units: int):
-    """Choose (batch_tile, time_tile).
+def _pick_tiles(p: int, b: int, t: int, hidden: int, stream_h_units: int):
+    """Choose (head_tile, batch_tile, time_tile).
 
-    Constraints: batch_tile must divide b AND satisfy Mosaic's sublane rule
-    (multiple of 8, or equal to b); time_tile must divide t.  Prefer the
-    full batch with the largest fitting time tile (fewer grid programs).
+    The TPU grid iterates sequentially, so every (head, batch) program pays
+    the full T-step dependency chain — the recurrence's latency is
+    (p/ph)·(b/bt)·T dependent small matmuls.  Packing ``ph`` heads into
+    each program turns the per-step matmul into a batched dot over
+    independent heads (they pipeline through the MXU with no dependency
+    stalls), dividing the chain length by ph.  Preference order is
+    therefore: largest head tile, then full batch, then the largest time
+    tile that fits VMEM.
 
-    ``stream_h_units``: H-multiples streamed per (t, batch-row) element
-    including the pipeline's double buffering — forward 2·(3H in + H out)
-    = 8, backward 2·(3H + 2·H in + 3H out) = 16.
+    Constraints: ph | p; bt | b and (bt % 8 == 0 or bt == b) (Mosaic
+    sublane rule); tt | t.
+
+    ``stream_h_units``: H-multiples streamed per (t, batch-row, head)
+    element including the pipeline's double buffering — forward
+    2·(3H in + H out) = 8, backward 2·(3H + 2·H in + 3H out) = 16.
     """
-    def fits(bt: int, tt: int) -> bool:
-        need = 4 * (tt * bt * stream_h_units * hidden
-                    + bt * hidden + 4 * hidden * hidden)
+    def fits(ph: int, bt: int, tt: int) -> bool:
+        need = 4 * ph * (tt * bt * stream_h_units * hidden
+                         + 2 * bt * hidden + 5 * hidden * hidden)
         return need <= _VMEM_BUDGET
 
     bt_candidates = [b] + [d for d in _divisors_desc(b) if d % 8 == 0 and d != b]
-    for bt in bt_candidates:
-        for tt in _divisors_desc(t):
-            if fits(bt, tt):
-                return bt, tt
-    return bt_candidates[-1] if bt_candidates else b, 1
+    # Heads unroll statically inside the kernel (Mosaic rejects 3D batched
+    # dots inside the time loop); cap the unroll to bound program size.
+    for ph in [d for d in _divisors_desc(p) if d <= _PH_MAX]:
+        for bt in bt_candidates:
+            for tt in _divisors_desc(t):
+                if fits(ph, bt, tt):
+                    return ph, bt, tt
+    return 1, bt_candidates[-1] if bt_candidates else b, 1
 
 
 def _gru_gates(xp_t, hp, h):
@@ -84,30 +100,45 @@ def _gru_gates(xp_t, hp, h):
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, h_scratch,
-                *, t_tile, hidden):
-    """One (head, batch-tile, time-tile) program.
+                *, t_tile, ph, hidden):
+    """One (head-tile, batch-tile, time-tile) program.
 
-    Blocks: xp (1, tt, Bt, 3H), w_hh (1, 3H, H), b_hh (1, 1, 3H),
-    h0 (1, Bt, H), outs (1, tt, Bt, H).  The time-tile grid axis iterates
+    Blocks: xp (ph, tt, Bt, 3H), w_hh (ph, 3H, H), b_hh (ph, 1, 3H),
+    h0 (ph, Bt, H), outs (ph, tt, Bt, H).  The time-tile grid axis iterates
     sequentially; ``h_scratch`` carries the hidden state between tiles.
+
+    The ph heads in the block are statically unrolled: within one time step
+    their (Bt, H) @ (H, 3H) dots are independent instructions that pipeline
+    through the MXU, so the sequential dependency chain is T steps — not
+    the ph·T a head-per-grid-program layout pays.  (A batched 3D dot would
+    express the same thing, but Mosaic's vector layout pass rejects 3D
+    vectors inside the time loop; all values here stay 2D.)
     """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
-        h_scratch[...] = h0_ref[0]
+        h_scratch[...] = h0_ref[...]
 
-    w_hh = w_hh_ref[0]
-    b_hh = b_hh_ref[0]
+    w_hh = [w_hh_ref[hh] for hh in range(ph)]      # ph × (3H, H)
+    b_hh = [b_hh_ref[hh, 0] for hh in range(ph)]   # ph × (3H,)
 
-    def step(t, h):
-        hp = jax.lax.dot_general(h, w_hh, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) + b_hh
-        h_new = _gru_gates(xp_ref[0, t], hp, h)
-        outs_ref[0, t] = h_new
-        return h_new
+    def step(t, hs):                               # hs: ph × (Bt, H)
+        new = []
+        for hh in range(ph):
+            hp = jax.lax.dot_general(hs[hh], w_hh[hh],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                + b_hh[hh]
+            h_new = _gru_gates(xp_ref[hh, t], hp, hs[hh])
+            outs_ref[hh, t] = h_new
+            new.append(h_new)
+        return tuple(new)
 
-    h_scratch[...] = jax.lax.fori_loop(0, t_tile, step, h_scratch[...])
+    hs = jax.lax.fori_loop(0, t_tile, step,
+                           tuple(h_scratch[hh] for hh in range(ph)))
+    for hh in range(ph):
+        h_scratch[hh] = hs[hh]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -117,26 +148,27 @@ def _fused_recurrence(xp: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
     -> outs (P, T, B, H)."""
     p, t, b, three_h = xp.shape
     hidden = three_h // 3
-    bt, tt = _pick_tiles(b, t, hidden, stream_h_units=8)
+    ph, bt, tt = _pick_tiles(p, b, t, hidden, stream_h_units=8)
 
-    kernel = functools.partial(_fwd_kernel, t_tile=tt, hidden=hidden)
+    kernel = functools.partial(_fwd_kernel, t_tile=tt, ph=ph, hidden=hidden)
     return pl.pallas_call(
         kernel,
-        grid=(p, b // bt, t // tt),
+        grid=(p // ph, b // bt, t // tt),
         in_specs=[
-            pl.BlockSpec((1, tt, bt, three_h), lambda i, j, k: (i, k, j, 0),
+            pl.BlockSpec((ph, tt, bt, three_h), lambda i, j, k: (i, k, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, three_h, hidden), lambda i, j, k: (i, 0, 0),
+            pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, three_h), lambda i, j, k: (i, 0, 0),
+            pl.BlockSpec((ph, 1, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, hidden), lambda i, j, k: (i, j, 0),
+            pl.BlockSpec((ph, bt, hidden), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tt, bt, hidden), lambda i, j, k: (i, k, j, 0),
+        out_specs=pl.BlockSpec((ph, tt, bt, hidden),
+                               lambda i, j, k: (i, k, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, t, b, hidden), xp.dtype),
-        scratch_shapes=[pltpu.VMEM((bt, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ph, bt, hidden), jnp.float32)],
         interpret=interpret,
     )(xp, w_hh, b_hh[:, None, :], h0)
 
@@ -172,15 +204,16 @@ def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
 def _bwd_kernel(xp_ref, hprev_ref, douts_ref, w_hh_ref, b_hh_ref,
                 dxp_ref, dwhh_ref, dbhh_ref, dh0_ref,
                 dh_scratch, dw_scratch, db_scratch, *, t_tile, n_tt, hidden):
-    """Reverse-time replay over a (head, batch-tile, time-tile) grid.
+    """Reverse-time replay over a (head-tile, batch-tile, time-tile) grid.
 
     The time-tile grid axis is index-mapped to walk the sequence back to
     front; within a tile the loop runs t_tile-1 .. 0.  ``dh_scratch``
     carries dL/dh between tiles; ``dw/db`` scratches accumulate across all
-    of a (head, batch-tile)'s time tiles and are written out on the last
-    one.  Gate pre-activations are rematerialized exactly as in the forward
-    (hp = h_prev @ W_hh^T + b_hh; the n-gate bias inside the reset product,
-    torch semantics) — one extra matmul per step.
+    of a (head-tile, batch-tile)'s time tiles and are written out on the
+    last one.  Gate pre-activations are rematerialized exactly as in the
+    forward (hp = h_prev @ W_hh^T + b_hh; the n-gate bias inside the reset
+    product, torch semantics) — one extra matmul per step.  All dots are
+    batched over the ph heads in the block (see ``_fwd_kernel``).
     """
     k = pl.program_id(2)
 
@@ -190,43 +223,51 @@ def _bwd_kernel(xp_ref, hprev_ref, douts_ref, w_hh_ref, b_hh_ref,
         dw_scratch[...] = jnp.zeros_like(dw_scratch)
         db_scratch[...] = jnp.zeros_like(db_scratch)
 
-    w_hh = w_hh_ref[0]
-    b_hh = b_hh_ref[0]
+    ph = dw_scratch.shape[0]
+    w_hh = [w_hh_ref[hh] for hh in range(ph)]      # ph × (3H, H)
+    b_hh = [b_hh_ref[hh, 0] for hh in range(ph)]   # ph × (3H,)
 
-    def step(i, _):
+    def step(i, dhs):                              # dhs: ph × (Bt, H)
         t = t_tile - 1 - i
-        h_prev = hprev_ref[0, t]
-        dh = douts_ref[0, t] + dh_scratch[...]
+        new = []
+        for hh in range(ph):
+            h_prev = hprev_ref[hh, t]
+            dh = douts_ref[hh, t] + dhs[hh]
 
-        hp = jax.lax.dot_general(h_prev, w_hh, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) + b_hh
-        xr, xz, xn = jnp.split(xp_ref[0, t], 3, axis=-1)
-        hr, hz, hn = jnp.split(hp, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
+            hp = jax.lax.dot_general(h_prev, w_hh[hh],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                + b_hh[hh]
+            xr, xz, xn = jnp.split(xp_ref[hh, t], 3, axis=-1)
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
 
-        dz = dh * (h_prev - n) * z * (1.0 - z)
-        da = dh * (1.0 - z) * (1.0 - n * n)
-        dbr = da * hn * r * (1.0 - r)
-        ghid = jnp.concatenate([dbr, dz, da * r], axis=-1)   # grad wrt hp
-        dxp_ref[0, t] = jnp.concatenate([dbr, dz, da], axis=-1)
+            dz = dh * (h_prev - n) * z * (1.0 - z)
+            da = dh * (1.0 - z) * (1.0 - n * n)
+            dbr = da * hn * r * (1.0 - r)
+            ghid = jnp.concatenate([dbr, dz, da * r], axis=-1)  # grad wrt hp
+            dxp_ref[hh, t] = jnp.concatenate([dbr, dz, da], axis=-1)
 
-        dh_scratch[...] = dh * z + jnp.dot(ghid, w_hh,
-                                           preferred_element_type=jnp.float32)
-        dw_scratch[...] += jax.lax.dot_general(
-            ghid, h_prev, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        db_scratch[...] += jnp.sum(ghid, axis=0, keepdims=True)
-        return 0
+            new.append(dh * z + jnp.dot(ghid, w_hh[hh],
+                                        preferred_element_type=jnp.float32))
+            dw_scratch[hh] += jax.lax.dot_general(
+                ghid, h_prev, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_scratch[hh] += jnp.sum(ghid, axis=0, keepdims=True)
+        return tuple(new)
 
-    jax.lax.fori_loop(0, t_tile, step, 0)
+    dhs = jax.lax.fori_loop(0, t_tile, step,
+                            tuple(dh_scratch[hh] for hh in range(ph)))
+    for hh in range(ph):
+        dh_scratch[hh] = dhs[hh]
 
     @pl.when(k == n_tt - 1)
     def _():
-        dwhh_ref[0, 0] = dw_scratch[...]
-        dbhh_ref[0, 0, 0] = db_scratch[0]
-        dh0_ref[0] = dh_scratch[...]
+        dwhh_ref[:, 0] = dw_scratch[...]
+        dbhh_ref[:, 0] = db_scratch[...]
+        dh0_ref[...] = dh_scratch[...]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -240,7 +281,7 @@ def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array,
     p, t, b, three_h = xp_b.shape
     hidden = three_h // 3
     # Streams: xp (3H) + hprev (H) + douts (H) in, dxp (3H) out; 2x buffered.
-    bt, tt = _pick_tiles(b, t, hidden, stream_h_units=16)
+    ph, bt, tt = _pick_tiles(p, b, t, hidden, stream_h_units=16)
     n_bt, n_tt = b // bt, t // tt
 
     # Time-tile k walks the sequence back to front.
@@ -248,23 +289,24 @@ def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array,
     kernel = functools.partial(_bwd_kernel, t_tile=tt, n_tt=n_tt, hidden=hidden)
     dxp, dwhh_p, dbhh_p, dh0 = pl.pallas_call(
         kernel,
-        grid=(p, n_bt, n_tt),
+        grid=(p // ph, n_bt, n_tt),
         in_specs=[
-            pl.BlockSpec((1, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, three_h, hidden), lambda i, j, k: (i, 0, 0),
+            pl.BlockSpec((ph, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, three_h), lambda i, j, k: (i, 0, 0),
+            pl.BlockSpec((ph, 1, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, three_h, hidden), lambda i, j, k: (i, j, 0, 0),
+            pl.BlockSpec((ph, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, 1, three_h, hidden),
+                         lambda i, j, k: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, three_h), lambda i, j, k: (i, j, 0, 0),
+            pl.BlockSpec((ph, 1, 1, three_h), lambda i, j, k: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, hidden), lambda i, j, k: (i, j, 0),
+            pl.BlockSpec((ph, bt, hidden), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -274,9 +316,9 @@ def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array,
             jax.ShapeDtypeStruct((p, b, hidden), xp_b.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bt, hidden), jnp.float32),
-            pltpu.VMEM((three_h, hidden), jnp.float32),
-            pltpu.VMEM((1, three_h), jnp.float32),
+            pltpu.VMEM((ph, bt, hidden), jnp.float32),
+            pltpu.VMEM((ph, three_h, hidden), jnp.float32),
+            pltpu.VMEM((ph, 1, three_h), jnp.float32),
         ],
         interpret=interpret,
     )(xp_b, hprev, douts, w_hh, b_hh[:, None, :])
