@@ -65,6 +65,38 @@ def test_henon_truth_chain():
     assert gc[2].tolist() == [0, 1, 1, 0]
 
 
+def test_henon_dynamics_truth_matches_generator():
+    """The corrected truth matrix must match the actual update equations
+    (x_{t+1} = 1 - 1.4x² + y depends on x AND y; y_{t+1} = 0.3x depends on
+    x only) — the reference's chain matrix mislabels this system
+    (author_CRVAE.py:706-719 vs :734-737)."""
+    from vae_connexe_tpu.data import henon_dynamics_truth
+
+    gc = np.asarray(henon_dynamics_truth())
+    assert gc.tolist() == [[1, 1], [1, 0]]
+    # And it differs from the parity (chain) convention in exactly the two
+    # cells the reference mislabels.
+    chain = np.asarray(henon_truth(2))
+    assert (gc != chain).sum() == 2
+
+
+def test_henon_experiment_reports_both_truths():
+    import dataclasses
+
+    from vae_connexe_tpu.configs import get_experiment, run_experiment
+
+    exp = get_experiment("henon_author")
+    res = run_experiment(
+        "henon_author", run_phase2=False, verbose=False,
+        overrides={"t": 300,
+                   "phase1": dataclasses.replace(exp.phase1, max_iter=30,
+                                                 check_every=10,
+                                                 batch_size=16)})
+    assert "gc" in res and "gc_dynamics" in res
+    assert "gc_dynamics_best_threshold" in res
+    assert 0.0 <= res["gc_dynamics"]["auroc"] <= 1.0
+
+
 def test_coupled_henon_bounded_and_normalized():
     s = coupled_henon(jax.random.key(3), t=800, d=6)
     assert s.shape == (800, 6)

@@ -252,6 +252,25 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                                   **{k: float(v) for k, v in
                                      gc_metrics(truth, scores, thr_auto).items()}}
             results["threshold_sweep"] = _sweep(truth, scores)
+            if exp.dataset == "henon" and exp.p == 2:
+                # The reference's own 2-D Hénon truth matrix mislabels its
+                # generator (author_CRVAE.py:706-719 vs :734-737; see
+                # data.henon.henon_dynamics_truth).  Report the corrected
+                # evaluation next to the parity row, including the best
+                # operating point over a dense threshold grid.
+                from vae_connexe_tpu.data import henon_dynamics_truth
+
+                dyn = henon_dynamics_truth()
+                results["gc_dynamics"] = {
+                    k: float(v) for k, v in gc_metrics(dyn, scores).items()}
+                grid = jnp.linspace(0.0, float(scores.max()), 64)
+                accs = [float(gc_metrics(dyn, scores, float(t))["accuracy"])
+                        for t in grid]
+                best_i = int(np.argmax(accs))
+                results["gc_dynamics_best_threshold"] = {
+                    "threshold": float(grid[best_i]),
+                    **{k: float(v) for k, v in
+                       gc_metrics(dyn, scores, float(grid[best_i])).items()}}
         if out:
             np.save(out / f"GC_{name}.npy", np.asarray(gc_est))
             np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))

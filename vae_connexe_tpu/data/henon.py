@@ -37,10 +37,30 @@ def henon_chain(t: int = 1000) -> jax.Array:
 
 
 def henon_truth(dim: int = 2) -> jnp.ndarray:
-    """Chain GC: self-loops plus each variable caused by its predecessor."""
+    """Chain GC: self-loops plus each variable caused by its predecessor.
+
+    This is the matrix the reference evaluates against
+    (``author_CRVAE.py:734-737``) — kept for parity.  Note it does NOT
+    match the reference's own 2-D generator; see
+    ``henon_dynamics_truth``."""
     gc = jnp.eye(dim, dtype=jnp.int32)
     gc = gc + jnp.eye(dim, k=-1, dtype=jnp.int32)
     return jnp.clip(gc, 0, 1)
+
+
+def henon_dynamics_truth() -> jnp.ndarray:
+    """The 2-D Hénon map's ACTUAL dependency graph.
+
+    The reference's generator (``author_CRVAE.py:706-719``) is
+    x_{t+1} = 1 − 1.4·x_t² + y_t,  y_{t+1} = 0.3·x_t — so x depends on
+    {x, y} and y depends on {x} only.  The truth matrix the reference
+    scores against ([[1,0],[1,1]], ``author_CRVAE.py:734-737``) is the
+    generic chain convention and mislabels this system: it marks the
+    absent y←y edge true and the present x←y edge false.  Models that
+    learn the real dynamics are therefore capped at accuracy 0.75 under
+    the reference's eval — a reference eval bug, documented here and
+    reported alongside the parity row."""
+    return jnp.array([[1, 1], [1, 0]], dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("t", "d", "burn_in"))
