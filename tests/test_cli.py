@@ -53,6 +53,32 @@ def test_tiny_run_and_eval_roundtrip(tmp_path, capsys):
         cli.main(["eval", "lorenz96_crvae", str(tmp_path / "ckpt_phase1")])
 
 
+def test_eval_csrae_family(tmp_path, capsys):
+    """cli eval supports the csrae family: restore a checkpoint, report
+    recon accuracy + loss components, generate samples."""
+    import jax
+    import json as _json
+    import numpy as np
+
+    from vae_connexe_tpu.configs import get_experiment
+    from vae_connexe_tpu.models import MixtureCSRAE
+    from vae_connexe_tpu.utils import save_checkpoint
+
+    exp = get_experiment("csrae_binarized")
+    c = exp.csrae
+    model = MixtureCSRAE(input_dim=exp.context * exp.p,
+                         hidden_dims=c.hidden_dims, latent_dim=c.latent_dim,
+                         k=c.k, lambda_cs=c.lambda_cs)
+    save_checkpoint(str(tmp_path / "ckpt"), model.init(jax.random.key(0)))
+    out_npy = str(tmp_path / "gen.npy")
+    cli.main(["eval", "csrae_binarized", str(tmp_path / "ckpt"),
+              "--generate", "8", "--out", out_npy])
+    res = _json.loads(capsys.readouterr().out)
+    assert 0.3 < res["recon_accuracy"] < 0.7      # untrained ≈ coin flip
+    assert res["loss"]["bce"] > 0
+    assert np.load(out_npy).shape == (8, exp.context * exp.p)
+
+
 def test_run_emits_full_figure_ritual(tmp_path):
     """Two-phase run with out_dir emits the reference's full distribution-
     match ritual: PCA + t-SNE + trajectory for the cold-start rollout and

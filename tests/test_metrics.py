@@ -119,3 +119,23 @@ def test_auto_threshold_exclude_diagonal():
     est = np.asarray(scores)[off] > thr
     expected = np.asarray(scores)[off] > 0.1
     np.testing.assert_array_equal(est, expected)
+
+
+def test_stability_selection_filters_unstable_edges():
+    """Edges that only cross the per-seed auto threshold in a minority of
+    seeds are voted out; consistently-selected edges stay."""
+    from vae_connexe_tpu.evals import stability_selection
+
+    rng = np.random.default_rng(0)
+    truth = np.array([[1, 1, 0], [0, 1, 0], [0, 1, 1]])
+    stacks = []
+    for s in range(8):
+        scores = truth * (1.0 + 0.1 * rng.standard_normal((3, 3))) \
+            + (1 - truth) * 0.01 * rng.random((3, 3))
+        if s < 3:   # a minority of seeds inflates one spurious edge
+            scores[0, 2] = 0.9
+        stacks.append(np.abs(scores))
+    votes, selected = stability_selection(jnp.asarray(np.stack(stacks)))
+    assert selected.tolist() == truth.tolist()
+    # The spurious edge collected some votes but stays below the majority.
+    assert 0.0 < float(votes[0, 2]) < 0.5

@@ -70,11 +70,16 @@ def _cmd_sweep(args):
                        seeds, mesh=mesh)
     truth = lorenz96_truth(args.p)
     aurocs = [float(auroc(truth, out["gc_scores"][i])) for i in range(args.seeds)]
+    from vae_connexe_tpu.evals import gc_metrics, stability_selection
+
+    votes, selected = stability_selection(out["gc_scores"])
+    stab = gc_metrics(truth, votes, 0.5 - 1e-9)
     print(json.dumps({
         "seeds": args.seeds,
         "aurocs": aurocs,
         "auroc_mean": sum(aurocs) / len(aurocs),
         "mean_loss": [float(x) for x in out["mean_loss"]],
+        "stability_selection": {k: float(v) for k, v in stab.items()},
     }, indent=2))
 
 
@@ -127,6 +132,30 @@ def _cmd_eval(args):
         if args.generate:
             roll = model.sample(params, jax.random.key(args.seed + 1),
                                 args.generate, exp.t)
+    elif exp.model_family == "csrae":
+        from vae_connexe_tpu.data import arrange_input
+        from vae_connexe_tpu.models import MixtureCSRAE
+
+        windows, _ = arrange_input(series, exp.context)
+        x = (windows.reshape(windows.shape[0], -1) > 0).astype(jnp.float32)
+        cfgc = exp.csrae
+        model = MixtureCSRAE(input_dim=x.shape[-1],
+                             hidden_dims=cfgc.hidden_dims,
+                             latent_dim=cfgc.latent_dim, k=cfgc.k,
+                             lambda_cs=cfgc.lambda_cs,
+                             cs_variant=cfgc.cs_variant)
+        params = restore_checkpoint(args.checkpoint,
+                                    model.init(jax.random.key(0)))
+        scores = truth = None   # no causal graph for the CS-RAE
+        logits, _, _ = model.forward(params, x[:512], jax.random.key(args.seed))
+        results["recon_accuracy"] = float(
+            ((logits > 0).astype(jnp.float32) == x[:512]).mean())
+        total, bce, cs = model.loss(params, x[:512], jax.random.key(args.seed))
+        results["loss"] = {"total": float(total), "bce": float(bce),
+                           "cs": float(cs)}
+        if args.generate:
+            roll = model.sample(params, jax.random.key(args.seed + 1),
+                                args.generate)
     else:
         sys.exit(f"eval does not support the {exp.model_family!r} family")
 

