@@ -1,0 +1,85 @@
+"""Sequence-parallel recurrence ≡ the single-device recurrence.
+
+The sp pipeline (`parallel/seq_parallel.py`) must return bitwise-comparable
+outputs and gradients to ``ops.gru.gru_scan_heads`` — the sharding is a
+schedule, not a numerical change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from vae_connexe_tpu.ops.gru import gru_scan_heads, init_stacked_gru
+from vae_connexe_tpu.parallel.seq_parallel import (seq_sharded_gru,
+                                                   seq_sharded_gru_heads)
+
+
+def _mk(key, p=3, b=8, t=16, d=5, h=7):
+    kp, kx, kh = jax.random.split(key, 3)
+    params = init_stacked_gru(kp, p, d, h)
+    x = jax.random.normal(kx, (b, t, d))
+    h0 = jax.random.normal(kh, (p, b, h))
+    return params, x, h0
+
+
+def _sp_mesh(devs, n):
+    return Mesh(np.asarray(devs[:n]), axis_names=("sp",))
+
+
+@pytest.mark.parametrize("n_sp,m", [(1, 1), (2, 2), (4, 4), (4, 2), (8, 4)])
+def test_seq_sharded_matches_single_device(eight_devices, n_sp, m):
+    params, x, h0 = _mk(jax.random.key(0))
+    ref_outs, ref_ht = gru_scan_heads(params, x, h0)
+    mesh = _sp_mesh(eight_devices, n_sp)
+    outs, h_t = seq_sharded_gru_heads(params, x, h0, mesh, microbatches=m)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref_outs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(ref_ht),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_seq_sharded_gradients_match(eight_devices):
+    params, x, h0 = _mk(jax.random.key(1), t=12, b=4)
+    mesh = _sp_mesh(eight_devices, 4)
+
+    def loss_ref(params, x, h0):
+        outs, h_t = gru_scan_heads(params, x, h0)
+        return jnp.sum(outs ** 2) + jnp.sum(jnp.sin(h_t))
+
+    def loss_sp(params, x, h0):
+        outs, h_t = seq_sharded_gru_heads(params, x, h0, mesh, microbatches=2)
+        return jnp.sum(outs ** 2) + jnp.sum(jnp.sin(h_t))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, x, h0)
+    g_sp = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(params, x, h0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        g_ref, g_sp)
+
+
+def test_seq_sharded_unstacked_wrapper(eight_devices):
+    from vae_connexe_tpu.ops.gru import gru_scan, init_gru
+
+    params = init_gru(jax.random.key(2), 4, 6)
+    x = jax.random.normal(jax.random.key(3), (6, 8, 4))
+    h0 = jax.random.normal(jax.random.key(4), (6, 6))
+    mesh = _sp_mesh(eight_devices, 2)
+    outs, h_t = seq_sharded_gru(params, x, h0, mesh, microbatches=3)
+    ref_outs, ref_ht = gru_scan(params, x, h0)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref_outs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(ref_ht),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_seq_sharded_divisibility_errors(eight_devices):
+    params, x, h0 = _mk(jax.random.key(5), t=10)   # 10 % 4 != 0
+    mesh = _sp_mesh(eight_devices, 4)
+    with pytest.raises(ValueError, match="not divisible by the 'sp'"):
+        seq_sharded_gru_heads(params, x, h0, mesh)
+    params, x, h0 = _mk(jax.random.key(6), t=16, b=6)
+    with pytest.raises(ValueError, match="microbatches"):
+        seq_sharded_gru_heads(params, x, h0, mesh, microbatches=4)

@@ -14,6 +14,10 @@ from vae_connexe_tpu.parallel.mesh import (
 )
 from vae_connexe_tpu.parallel.multihost import initialize_multihost
 from vae_connexe_tpu.parallel.seed_sweep import sweep_phase1
+from vae_connexe_tpu.parallel.seq_parallel import (
+    seq_sharded_gru,
+    seq_sharded_gru_heads,
+)
 
 __all__ = [
     "batch_sharding",
@@ -21,6 +25,8 @@ __all__ = [
     "initialize_multihost",
     "make_mesh",
     "replicated",
+    "seq_sharded_gru",
+    "seq_sharded_gru_heads",
     "shard_batch",
     "sweep_phase1",
 ]

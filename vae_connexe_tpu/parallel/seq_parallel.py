@@ -1,0 +1,149 @@
+"""Sequence-parallel (sp) recurrence: the GRU time axis sharded over a mesh
+axis, hidden state handed device-to-device, microbatch-pipelined.
+
+The reference has no long-context strategy beyond windowing (SURVEY.md §5
+"Long-context"); its recurrences are single-device ``nn.GRU`` calls
+(``/root/reference/author_CRVAE.py:107``).  This module supplies the
+TPU-native scale-out for the sequence axis itself, for configs whose windows
+outgrow one chip's HBM or whose latency budget wants the time axis spread
+over ICI:
+
+- the (B, T, D) input is sharded on T: device s owns one contiguous time
+  chunk of length T/S and computes its slice of the recurrence;
+- a recurrence is sequential in T, so the carried hidden state flows from
+  device s-1 to device s via ``lax.ppermute`` (one (P, Bm, H) message per
+  pipeline round — rides ICI, never the host);
+- to keep devices busy despite the sequential dependency, the batch is split
+  into M microbatches and pipelined GPipe-style: in round k device s runs
+  microbatch k-s, so after an (S-1)-round fill bubble all S devices compute
+  concurrently.  Pipeline efficiency is M/(M+S-1).
+
+Gate math, layouts, and results are identical to ``ops.gru.gru_scan_heads``
+(tested leaf-for-leaf, forward and gradients, in
+``tests/test_seq_parallel.py``).  Everything is static-shaped: the round
+schedule is a Python loop of length S+M-1 over masked ``dynamic_slice``
+selects, so the whole pipeline jit-compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vae_connexe_tpu.ops.gru import GRUParams, _gates
+
+
+def _chunk_recurrence(params: GRUParams, xp: jax.Array, h0: jax.Array):
+    """Straight-line recurrence over one local time chunk.
+
+    xp: (P, Bm, Tc, 3H) pre-projected inputs; h0: (P, Bm, H).
+    Returns (outs (P, Bm, Tc, H), h_Tc (P, Bm, H)).
+    """
+    hidden = params.hidden
+    h = h0
+    outs = []
+    for t in range(xp.shape[2]):
+        hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]
+        h = _gates(xp[:, :, t], hp, h, hidden)
+        outs.append(h)
+    return jnp.stack(outs, axis=2), h
+
+
+def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
+                          mesh: Mesh, axis: str = "sp",
+                          microbatches: int | None = None):
+    """Stacked-head GRU with the time axis sharded over ``mesh[axis]``.
+
+    Drop-in contract of ``ops.gru.gru_scan_heads`` (shared input form):
+
+    Args:
+      params: stacked ``GRUParams``, leading head axis P (replicated).
+      x: (B, T, D) shared input sequence; T must divide by the sp size.
+      h0: (P, B, H) initial hidden per head.
+      mesh: mesh containing ``axis``.
+      microbatches: pipeline depth M (divides B).  Default: min(B, sp size),
+        which bounds the fill bubble at <= 50% and is exact when M == S.
+
+    Returns:
+      (outs (P, B, T, H), h_T (P, B, H)) — outs sharded on T over ``axis``,
+      h_T fully replicated.
+    """
+    n_sp = mesh.shape[axis]
+    p_heads, b, hidden = h0.shape
+    t_len = x.shape[1]
+    if t_len % n_sp:
+        raise ValueError(
+            f"sequence length {t_len} not divisible by the '{axis}' mesh size "
+            f"{n_sp} — pad the window or choose a dividing sp size")
+    m = microbatches if microbatches is not None else min(b, n_sp)
+    if b % m:
+        raise ValueError(
+            f"batch {b} not divisible by microbatches={m} — choose a pipeline "
+            f"depth dividing the batch")
+    bm = b // m
+    rounds = n_sp + m - 1
+
+    def local(params, x_loc, h0_full):
+        # x_loc: (B, Tc, D) — this device's time chunk; params/h0 replicated.
+        s = jax.lax.axis_index(axis)
+        # Whole-chunk input projection: one MXU einsum for all heads/steps.
+        xp = (jnp.einsum("btd,pgd->pbtg", x_loc, params.w_ih)
+              + params.b_ih[:, None, None, :])           # (P, B, Tc, 3H)
+        tc = xp.shape[2]
+        xp = xp.reshape(p_heads, m, bm, tc, 3 * hidden)  # microbatched
+        h0_mb = h0_full.reshape(p_heads, m, bm, hidden)
+
+        outs = jnp.zeros((p_heads, m, bm, tc, hidden), x_loc.dtype)
+        h_last = jnp.zeros((p_heads, m, bm, hidden), x_loc.dtype)
+        recv = jnp.zeros((p_heads, bm, hidden), x_loc.dtype)
+        fwd = [(i, i + 1) for i in range(n_sp - 1)]
+
+        for k in range(rounds):
+            m_idx = jnp.clip(k - s, 0, m - 1)
+            valid = jnp.logical_and(k - s >= 0, k - s < m)
+            # Device 0 seeds each microbatch from h0; others take the left
+            # neighbour's carry (sent at the end of round k-1).
+            h_in = jnp.where(s == 0,
+                             jax.lax.dynamic_index_in_dim(
+                                 h0_mb, m_idx, axis=1, keepdims=False),
+                             recv)
+            xp_mb = jax.lax.dynamic_index_in_dim(xp, m_idx, axis=1,
+                                                 keepdims=False)
+            outs_mb, h_out = _chunk_recurrence(params, xp_mb, h_in)
+            outs = jnp.where(
+                valid,
+                jax.lax.dynamic_update_index_in_dim(
+                    outs, outs_mb, m_idx, axis=1),
+                outs)
+            h_last = jnp.where(
+                valid,
+                jax.lax.dynamic_update_index_in_dim(
+                    h_last, h_out, m_idx, axis=1),
+                h_last)
+            if k < rounds - 1 and n_sp > 1:
+                recv = jax.lax.ppermute(h_out, axis, fwd)
+
+        outs = outs.reshape(p_heads, b, tc, hidden)
+        # h_T lives on the last device; replicate it with one all_gather.
+        h_all = jax.lax.all_gather(h_last.reshape(p_heads, b, hidden),
+                                   axis, axis=0)
+        return outs, h_all[n_sp - 1]
+
+    shmapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P()),
+        out_specs=(P(None, None, axis, None), P()),
+        check_vma=False)
+    return shmapped(params, x, h0)
+
+
+def seq_sharded_gru(params: GRUParams, x: jax.Array, h0: jax.Array,
+                    mesh: Mesh, axis: str = "sp",
+                    microbatches: int | None = None):
+    """Single (unstacked) GRU with a sequence-sharded time axis — contract of
+    ``ops.gru.gru_scan``, riding the stacked pipeline as a 1-head stack."""
+    stacked = jax.tree.map(lambda a: a[None], params)
+    outs, h_t = seq_sharded_gru_heads(stacked, x, h0[None], mesh, axis,
+                                      microbatches)
+    return outs[0], h_t[0]
