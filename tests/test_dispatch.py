@@ -61,3 +61,51 @@ def test_model_forward_invariant_to_dispatch_path():
         dispatch.set_fused(None)
         pallas_gru.set_interpret(False)
     np.testing.assert_allclose(np.asarray(pred_f), np.asarray(pred_l), atol=1e-5)
+
+
+class TestIncellProjection:
+    """In-cell input projection (large pre-projection regime) vs hoisted."""
+
+    def _setup(self):
+        params = init_stacked_gru(jax.random.key(3), 5, 7, 16)
+        x = jax.random.normal(jax.random.key(4), (4, 12, 7))
+        h0 = jnp.zeros((5, 4, 16))
+        return params, x, h0
+
+    def test_dispatch_thresholds(self):
+        from vae_connexe_tpu.ops import gru as g
+        # Reference north-star shape: hoisted.
+        assert not g._use_incell_proj(20, 256, 20, 192)
+        # xl (p=128) and p=40/h=128 shapes: in-cell.
+        assert g._use_incell_proj(128, 64, 40, 192)
+        assert g._use_incell_proj(40, 256, 40, 384)
+
+    def test_incell_matches_hoisted_fwd_and_grad(self, monkeypatch):
+        from vae_connexe_tpu.ops import gru as g
+        params, x, h0 = self._setup()
+
+        def run(variant):
+            monkeypatch.setattr(g, "_INCELL_PROJ", variant)
+            def loss(p):
+                o, hT = gru_scan_heads(p, x, h0)
+                return (o ** 2).sum() + (hT ** 2).sum()
+            o, hT = gru_scan_heads(params, x, h0)
+            return o, hT, jax.grad(loss)(params)
+
+        o1, h1, g1 = run("1")
+        o2, h2, g2 = run("0")
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_incell_per_head_input(self, monkeypatch):
+        from vae_connexe_tpu.ops import gru as g
+        params, _, h0 = self._setup()
+        xp = jax.random.normal(jax.random.key(5), (5, 4, 12, 7))
+        monkeypatch.setattr(g, "_INCELL_PROJ", "1")
+        o1, h1 = gru_scan_heads(params, xp, h0)
+        monkeypatch.setattr(g, "_INCELL_PROJ", "0")
+        o2, h2 = gru_scan_heads(params, xp, h0)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-6, atol=1e-7)

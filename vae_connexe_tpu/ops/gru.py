@@ -30,9 +30,32 @@ outputs meaningful.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
+
+# In-cell input projection for the unrolled stacked-head recurrence (see
+# gru_scan_heads): recompute x_t @ W_ih inside each checkpointed cell instead
+# of materializing the (P, B, T, 3H) pre-projection in HBM.  Dispatch is by
+# the size of the pre-projection that hoisting would materialize: measured
+# A/B (RESULTS.md "Optimizations evaluated") shows hoisted wins at the
+# reference shapes (~20M elements: 3161 vs 2846 steps/s) while in-cell wins
+# 1.8-1.9x once the hoisted tensor is HBM-traffic dominant (63M elements at
+# xl p=128: 116 -> 210 steps/s; 157M at p=40 h=128: 92 -> 174).  The 2^25
+# threshold splits those measured regimes.  Env override for A/B:
+# VAE_CONNEXE_INCELL_PROJ=1 forces in-cell, =0 forces hoisted.
+_INCELL_MIN_XP_ELEMS = 2 ** 25
+_INCELL_PROJ = os.environ.get("VAE_CONNEXE_INCELL_PROJ", "auto")
+
+
+def _use_incell_proj(n_heads: int, batch: int, t_len: int, three_h: int) -> bool:
+    if _INCELL_PROJ == "1":
+        return True
+    if _INCELL_PROJ == "0":
+        return False
+    return n_heads * batch * t_len * three_h >= _INCELL_MIN_XP_ELEMS
 
 
 @struct.dataclass
@@ -148,24 +171,52 @@ def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
     Returns:
       (outs (P, B, T, H), h_T (P, B, H)).
     """
+    hidden = params.hidden
+    t_len = x.shape[-2]
+    n_heads = params.w_ih.shape[0]
+
+    if t_len <= UNROLL_MAX_T and _use_incell_proj(
+            n_heads, x.shape[-3], t_len, 3 * hidden):
+        # Each unrolled cell is wrapped in jax.checkpoint with the INPUT
+        # PROJECTION INSIDE the cell: the (P, B, T, 3H) pre-projected tensor
+        # never materializes in HBM — forward and backward both recompute
+        # x_t @ W_ih per step, and the saved residuals shrink to (h, x_t)
+        # where x_t is (B, D), ~3H/D times smaller.  The training step is
+        # HBM-bound while the MXU idles (RESULTS.md roofline), so trading
+        # recomputed matmul FLOPs for the dominant saved-activation traffic
+        # wins once that tensor is large (see _use_incell_proj; measured per
+        # workload in RESULTS.md "Optimizations evaluated").  Forward
+        # numerics are unchanged (same contraction, computed per step).
+        @jax.checkpoint
+        def cell(h, x_t, params):
+            if x_t.ndim == 2:
+                xp_t = (jnp.einsum("bd,pgd->pbg", x_t, params.w_ih)
+                        + params.b_ih[:, None, :])
+            else:
+                xp_t = (jnp.einsum("pbd,pgd->pbg", x_t, params.w_ih)
+                        + params.b_ih[:, None, :])
+            hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]
+            return _gates(xp_t, hp, h, hidden)
+
+        b = x.shape[-3]
+        h = jnp.broadcast_to(h0, (n_heads, b, hidden))
+        outs = []
+        for t in range(t_len):
+            h = cell(h, x[..., t, :], params)
+            outs.append(h)
+        return jnp.stack(outs, axis=2), h
+
     if x.ndim == 3:
         # One einsum for all heads' input projections: (B,T,D)x(P,3H,D).
         xp = jnp.einsum("btd,pgd->pbtg", x, params.w_ih) + params.b_ih[:, None, None, :]
     else:
         xp = jnp.einsum("pbtd,pgd->pbtg", x, params.w_ih) + params.b_ih[:, None, None, :]
-    hidden = params.hidden
-    t_len = xp.shape[2]
     h0 = jnp.broadcast_to(h0, xp.shape[:2] + (hidden,))
 
     if t_len <= UNROLL_MAX_T:
-        # Each unrolled cell is wrapped in jax.checkpoint: the backward
-        # rematerializes the hidden projection + gate math from (h, xp_t)
-        # instead of loading saved gate tensors — the training step is
-        # HBM-bound while the MXU idles (RESULTS.md roofline), so trading
-        # ~4x saved-activation traffic for one recomputed matmul wins at
-        # scale: +23% on the p=128 xl workload (10.7 -> 8.6 ms/step),
-        # neutral at p=20 (within relay variance).  Forward is bitwise
-        # unchanged.
+        # Hoisted-xp unrolled variant (small pre-projection / reference
+        # shapes): one large MXU matmul for all steps' input projections,
+        # per-cell checkpoint rematerializing gate math from (h, xp_t).
         @jax.checkpoint
         def cell(h, xp_t, w_hh, b_hh):
             hp = jnp.einsum("pbh,pgh->pbg", h, w_hh) + b_hh[:, None, :]
