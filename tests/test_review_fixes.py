@@ -17,14 +17,16 @@ def test_pick_tiles_divide_and_respect_sublane_rule():
     for p in (1, 2, 10, 128, 7):
         for b in (44, 52, 7, 13, 256, 1000, 3):
             for t, h in ((512, 256), (10, 64), (2048, 128)):
-                for units in (8, 18):
-                    ph, bt, tt = _pick_tiles(p, b, t, h, units)
-                    assert p % ph == 0 and b % bt == 0 and t % tt == 0, \
-                        (p, b, t, h, ph, bt, tt)
-                    # Head unroll is capped to bound kernel program size.
-                    assert 1 <= ph <= _PH_MAX
-                    # Mosaic sublane rule: batch tile is x8 or the full batch.
-                    assert bt == b or bt % 8 == 0, (b, bt)
+                for d_in, shared in ((p, True), (3 * p + 1, False)):
+                    for mode in ("fwd", "bwd"):
+                        ph, bt, tt = _pick_tiles(p, b, t, h, d_in, shared,
+                                                 mode)
+                        assert p % ph == 0 and b % bt == 0 and t % tt == 0, \
+                            (p, b, t, h, ph, bt, tt)
+                        # Head unroll is capped to bound program size.
+                        assert 1 <= ph <= _PH_MAX
+                        # Mosaic sublane rule: x8 or the full batch.
+                        assert bt == b or bt % 8 == 0, (b, bt)
 
 
 def test_track_best_uses_pre_update_params():

@@ -4,26 +4,36 @@ fused GRU (reached by the reference via ``nn.GRU``/``flatten_parameters``,
 
 Decomposition (see pallas_guide.md):
 
-1. The input projection for all heads and all timesteps is ONE large MXU
-   matmul done *outside* the kernel (``x @ W_ih^T``) — it has no sequential
-   dependence and XLA already schedules it perfectly.
-2. The sequential part — the per-step (B, H) @ (H, 3H) hidden projection
+1. The sequential part — the per-step (B, H) @ (H, 3H) hidden projection
    plus VPU gate math per head — runs as a Pallas kernel over a
    (head-tile, batch-tile, time-tile) grid.  The TPU grid iterates
    **sequentially**, so the hidden state lives in VMEM scratch and carries
    across time tiles with no HBM round trips; per-step outputs stream to
-   the output blocks.  Time tiling bounds VMEM at any sequence length (a
-   whole-T block OOMs past T ≈ 100 at H=128).  Up to ``_PH_MAX`` heads are
-   packed per program and statically unrolled: their per-step dots are
-   independent and pipeline through the MXU, cutting the sequential
-   dependency chain from p·T to (p/ph)·T small matmuls (measured +10%
-   end-to-end on the longhorizon training workload, 403 → 445 steps/s).
+   the output blocks.  Time tiling bounds VMEM at any sequence length.
+   Up to ``_PH_MAX`` heads are packed per program and statically unrolled:
+   their per-step dots are independent and pipeline through the MXU,
+   cutting the sequential dependency chain from p·T to (p/ph)·T small
+   matmuls (measured +10% end-to-end on the longhorizon training workload,
+   403 → 445 steps/s).
+2. The input projection ``x @ W_ih^T`` is computed **inside the kernel**,
+   one whole-tile MXU matmul per head into a VMEM scratch, from the raw
+   (tt, bt, D) x block.  The (P, B, T, 3H) pre-projection therefore never
+   exists in HBM — the kernel streams D-wide x instead of 3H-wide xp
+   (D = p ≈ 10-20 vs 3H = 192 at the longhorizon shapes), the same
+   traffic-for-recompute trade the XLA path's in-cell projection makes
+   (``ops/gru.py``).  The recurrence loop itself is unchanged: it reads
+   xp from scratch, so the sequential critical path is identical to the
+   streamed-xp design.
 
 A custom VJP makes the fused path trainable: the backward kernel replays
 the recurrence in reverse (the time-tile grid axis is index-mapped back to
 front), rematerializing gate pre-activations from the saved per-step hidden
-states, accumulating dW_hh/db_hh in scratch across all time tiles, and
-streaming dxp per step.
+states and the in-kernel re-projected xp.  The per-step input-projection
+gradients gx overwrite the xp scratch slots as the reverse loop consumes
+them; after the loop, one whole-tile matmul per head accumulates
+dW_ih += gxᵀ x into scratch (written out on the last time tile, like
+dW_hh), and dx = Σ_heads gx @ W_ih is emitted head-reduced — dxp never
+materializes in HBM either.
 
 Correctness contract: bit-compatible gate math with ``ops.gru`` (same split
 order r, z, n; reset gate multiplies the hidden candidate — the n-gate's
@@ -43,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vae_connexe_tpu.ops.gru import GRUParams
 
-_VMEM_BUDGET = 10 * 1024 * 1024   # leave headroom under ~16MB VMEM
+_VMEM_BUDGET = 14 * 1024 * 1024   # under the 16MB scoped-vmem limit
 _PH_MAX = 16                      # max heads unrolled per kernel program
 
 
@@ -51,7 +61,8 @@ def _divisors_desc(n: int):
     return [d for d in range(n, 0, -1) if n % d == 0]
 
 
-def _pick_tiles(p: int, b: int, t: int, hidden: int, stream_h_units: int):
+def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
+                shared: bool, mode: str):
     """Choose (head_tile, batch_tile, time_tile).
 
     The TPU grid iterates sequentially, so every (head, batch) program pays
@@ -66,14 +77,48 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, stream_h_units: int):
     Constraints: ph | p; bt | b and (bt % 8 == 0 or bt == b) (Mosaic
     sublane rule); tt | t.
 
-    ``stream_h_units``: H-multiples streamed per (t, batch-row, head)
-    element including the pipeline's double buffering — forward
-    2·(3H in + H out) = 8, backward 2·(3H + 2·H in + 3H out) = 16.
+    VMEM accounting is per explicit block with Mosaic tiling padding —
+    the last dim rounds up to 128 lanes (decisive: a D=10 x stream costs
+    128 lanes, so per-head x blocks are as wide as hidden-width blocks)
+    and the second-to-last to 8 sublanes; every in/out block is counted
+    ×2 for the pipeline's double buffering, scratch ×1.
     """
+    three_h = 3 * hidden
+
+    def blk(*shape):
+        """Padded f32 elems of one VMEM block (lane/sublane rounding)."""
+        dims = list(shape)
+        dims[-1] = -(-dims[-1] // 128) * 128
+        if len(dims) >= 2:
+            dims[-2] = -(-dims[-2] // 8) * 8
+        n = 1
+        for v in dims:
+            n *= v
+        return n
+
     def fits(ph: int, bt: int, tt: int) -> bool:
-        need = 4 * ph * (tt * bt * stream_h_units * hidden
-                         + 2 * bt * hidden + 5 * hidden * hidden)
-        return need <= _VMEM_BUDGET
+        # Streamed = index map varies with the time-tile axis (×2 double
+        # buffer); resident = k-constant blocks + outputs written once
+        # (×1); scratch ×1.  Calibrated against Mosaic's scoped-vmem
+        # reports (it single-buffers k-constant blocks).
+        x_blk = blk(tt, bt, d_in) if shared else blk(ph, tt, bt, d_in)
+        weights = (blk(ph, three_h, d_in) + blk(ph, three_h, hidden)
+                   + 2 * blk(ph, 1, three_h))
+        if mode == "fwd":
+            streamed = x_blk + blk(ph, tt, bt, hidden)
+            resident = weights + blk(ph, bt, hidden)          # h0
+            scratch = blk(ph, tt, bt, three_h) + blk(ph, bt, hidden)
+        else:
+            dx_blk = blk(1, tt, bt, d_in) if shared else blk(ph, tt, bt, d_in)
+            streamed = x_blk + 2 * blk(ph, tt, bt, hidden) + dx_blk
+            dw_out = (blk(ph, 1, three_h, d_in) + blk(ph, 1, three_h, hidden)
+                      + 2 * blk(ph, 1, 1, three_h) + blk(ph, bt, hidden))
+            resident = weights + dw_out
+            scratch = (blk(ph, tt, bt, three_h) + blk(ph, bt, hidden)
+                       + blk(ph, three_h, d_in) + blk(ph, three_h, hidden)
+                       + 2 * blk(ph, 1, three_h))
+        need = 2 * streamed + resident + scratch
+        return 4 * need <= _VMEM_BUDGET
 
     bt_candidates = [b] + [d for d in _divisors_desc(b) if d % 8 == 0 and d != b]
     # Heads unroll statically inside the kernel (Mosaic rejects 3D batched
@@ -95,17 +140,38 @@ def _gru_gates(xp_t, hp, h):
     return (1.0 - z) * n + z * h
 
 
+def _x_tile_2d(x_ref, hh: int, shared: bool, t_tile: int):
+    """The (tt·bt, D) flattened x tile for head hh (shared: same for all)."""
+    blk = x_ref[...] if shared else x_ref[hh]
+    return blk.reshape(t_tile * blk.shape[-2], blk.shape[-1])
+
+
+def _fill_xp_scratch(x_ref, w_ih_ref, b_ih_ref, xp_scratch, *, ph, t_tile,
+                     shared):
+    """xp_scratch[hh] ← x_tile @ W_ih[hh]ᵀ + b_ih[hh]: one whole-tile MXU
+    matmul per head — the in-kernel input projection."""
+    for hh in range(ph):
+        xt = _x_tile_2d(x_ref, hh, shared, t_tile)
+        xp = jax.lax.dot_general(xt, w_ih_ref[hh], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) \
+            + b_ih_ref[hh, 0]
+        xp_scratch[hh] = xp.reshape(xp_scratch.shape[1:])
+
+
 # --------------------------------------------------------------------------
 # Forward
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, h_scratch,
-                *, t_tile, ph, hidden):
+def _fwd_kernel(x_ref, w_ih_ref, b_ih_ref, w_hh_ref, b_hh_ref, h0_ref,
+                outs_ref, xp_scratch, h_scratch, *, t_tile, ph, hidden,
+                shared):
     """One (head-tile, batch-tile, time-tile) program.
 
-    Blocks: xp (ph, tt, Bt, 3H), w_hh (ph, 3H, H), b_hh (ph, 1, 3H),
+    Blocks: x (tt, Bt, D) shared or (ph, tt, Bt, D) per-head,
+    w_ih (ph, 3H, D), b_ih (ph, 1, 3H), w_hh (ph, 3H, H), b_hh (ph, 1, 3H),
     h0 (ph, Bt, H), outs (ph, tt, Bt, H).  The time-tile grid axis iterates
-    sequentially; ``h_scratch`` carries the hidden state between tiles.
+    sequentially; ``h_scratch`` carries the hidden state between tiles and
+    ``xp_scratch`` holds the tile's in-kernel input projection.
 
     The ph heads in the block are statically unrolled: within one time step
     their (Bt, H) @ (H, 3H) dots are independent instructions that pipeline
@@ -120,6 +186,9 @@ def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, h_scratch,
     def _():
         h_scratch[...] = h0_ref[...]
 
+    _fill_xp_scratch(x_ref, w_ih_ref, b_ih_ref, xp_scratch,
+                     ph=ph, t_tile=t_tile, shared=shared)
+
     w_hh = [w_hh_ref[hh] for hh in range(ph)]      # ph × (3H, H)
     b_hh = [b_hh_ref[hh, 0] for hh in range(ph)]   # ph × (3H,)
 
@@ -130,7 +199,7 @@ def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, h_scratch,
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32) \
                 + b_hh[hh]
-            h_new = _gru_gates(xp_ref[hh, t], hp, hs[hh])
+            h_new = _gru_gates(xp_scratch[hh, t], hp, hs[hh])
             outs_ref[hh, t] = h_new
             new.append(h_new)
         return tuple(new)
@@ -142,20 +211,34 @@ def _fwd_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, outs_ref, h_scratch,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_recurrence(xp: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
-                      h0: jax.Array, interpret: bool = False) -> jax.Array:
-    """xp (P, T, B, 3H), w_hh (P, 3H, H), b_hh (P, 3H), h0 (P, B, H)
+def _fused_recurrence(x_tm: jax.Array, w_ih: jax.Array, b_ih: jax.Array,
+                      w_hh: jax.Array, b_hh: jax.Array, h0: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """x_tm (T, B, D) shared or (P, T, B, D) per-head, w_ih (P, 3H, D),
+    b_ih (P, 3H), w_hh (P, 3H, H), b_hh (P, 3H), h0 (P, B, H)
     -> outs (P, T, B, H)."""
-    p, t, b, three_h = xp.shape
-    hidden = three_h // 3
-    ph, bt, tt = _pick_tiles(p, b, t, hidden, stream_h_units=8)
+    shared = x_tm.ndim == 3
+    t, b, d = x_tm.shape[-3:]
+    p, three_h, hidden = w_hh.shape
+    ph, bt, tt = _pick_tiles(p, b, t, hidden, d, shared, mode="fwd")
 
-    kernel = functools.partial(_fwd_kernel, t_tile=tt, ph=ph, hidden=hidden)
+    if shared:
+        x_spec = pl.BlockSpec((tt, bt, d), lambda i, j, k: (k, j, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((ph, tt, bt, d), lambda i, j, k: (i, k, j, 0),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fwd_kernel, t_tile=tt, ph=ph, hidden=hidden,
+                               shared=shared)
     return pl.pallas_call(
         kernel,
         grid=(p // ph, b // bt, t // tt),
         in_specs=[
-            pl.BlockSpec((ph, tt, bt, three_h), lambda i, j, k: (i, k, j, 0),
+            x_spec,
+            pl.BlockSpec((ph, three_h, d), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, 1, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -167,17 +250,18 @@ def _fused_recurrence(xp: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
         out_specs=pl.BlockSpec((ph, tt, bt, hidden),
                                lambda i, j, k: (i, k, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, t, b, hidden), xp.dtype),
-        scratch_shapes=[pltpu.VMEM((ph, bt, hidden), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((p, t, b, hidden), x_tm.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ph, tt, bt, three_h), jnp.float32),
+            pltpu.VMEM((ph, bt, hidden), jnp.float32),
+        ],
         interpret=interpret,
-    )(xp, w_hh, b_hh[:, None, :], h0)
+    )(x_tm, w_ih, b_ih[:, None, :], w_hh, b_hh[:, None, :], h0)
 
 
-def _project_inputs(params: GRUParams, x: jax.Array) -> jax.Array:
-    """All heads' input projections in one einsum -> (P, B, T, 3H)."""
-    if x.ndim == 3:
-        return jnp.einsum("btd,pgd->pbtg", x, params.w_ih) + params.b_ih[:, None, None, :]
-    return jnp.einsum("pbtd,pgd->pbtg", x, params.w_ih) + params.b_ih[:, None, None, :]
+def _time_major(x: jax.Array) -> jax.Array:
+    """(B, T, D) -> (T, B, D) or (P, B, T, D) -> (P, T, B, D)."""
+    return jnp.swapaxes(x, -3, -2)
 
 
 def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
@@ -187,12 +271,12 @@ def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
     Args match gru_scan_heads: stacked params (leading P), x (B, T, D) shared
     or (P, B, T, D) per-head, h0 (P, B, H).  Returns (outs (P, B, T, H), h_T).
     """
-    xp = _project_inputs(params, x)                       # (P, B, T, 3H)
-    xp = jnp.swapaxes(xp, 1, 2)                           # (P, T, B, 3H)
+    x_tm = _time_major(x)
+    b = x_tm.shape[-2]
     # Honor gru_scan_heads' broadcastable-h0 contract (e.g. (P, 1, H)).
-    h0 = jnp.broadcast_to(h0, (xp.shape[0], xp.shape[2], params.hidden))
-    outs = _fused_recurrence(xp, params.w_hh, params.b_hh, h0,
-                             interpret=interpret)         # (P, T, B, H)
+    h0 = jnp.broadcast_to(h0, (params.w_ih.shape[0], b, params.hidden))
+    outs = _fused_recurrence(x_tm, params.w_ih, params.b_ih, params.w_hh,
+                             params.b_hh, h0, interpret=interpret)
     outs = jnp.swapaxes(outs, 1, 2)                       # (P, B, T, H)
     return outs, outs[:, :, -1, :]
 
@@ -201,29 +285,39 @@ def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
 # Backward kernel + custom VJP (trainable fused path)
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(xp_ref, hprev_ref, douts_ref, w_hh_ref, b_hh_ref,
-                dxp_ref, dwhh_ref, dbhh_ref, dh0_ref,
-                dh_scratch, dw_scratch, db_scratch, *, t_tile, n_tt, hidden):
+def _bwd_kernel(x_ref, hprev_ref, douts_ref, w_ih_ref, b_ih_ref, w_hh_ref,
+                b_hh_ref,
+                dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref, dh0_ref,
+                gxp_scratch, dh_scratch, dwih_scratch, dbih_scratch,
+                dwhh_scratch, dbhh_scratch,
+                *, t_tile, n_tt, ph, hidden, shared):
     """Reverse-time replay over a (head-tile, batch-tile, time-tile) grid.
 
     The time-tile grid axis is index-mapped to walk the sequence back to
     front; within a tile the loop runs t_tile-1 .. 0.  ``dh_scratch``
-    carries dL/dh between tiles; ``dw/db`` scratches accumulate across all
+    carries dL/dh between tiles; the dW/db scratches accumulate across all
     of a (head-tile, batch-tile)'s time tiles and are written out on the
     last one.  Gate pre-activations are rematerialized exactly as in the
-    forward (hp = h_prev @ W_hh^T + b_hh; the n-gate bias inside the reset
-    product, torch semantics) — one extra matmul per step.  All dots are
-    batched over the ph heads in the block (see ``_fwd_kernel``).
+    forward: xp via the in-kernel whole-tile projection into
+    ``gxp_scratch`` (hp = h_prev @ W_hhᵀ + b_hh per step; the n-gate bias
+    inside the reset product, torch semantics).  The reverse loop consumes
+    xp[t] and overwrites the same scratch slot with the per-step
+    input-projection gradient gx; after the loop one whole-tile matmul per
+    head folds gx into dW_ih / db_ih / dx — dxp never leaves VMEM.
     """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         dh_scratch[...] = jnp.zeros_like(dh_scratch)
-        dw_scratch[...] = jnp.zeros_like(dw_scratch)
-        db_scratch[...] = jnp.zeros_like(db_scratch)
+        dwih_scratch[...] = jnp.zeros_like(dwih_scratch)
+        dbih_scratch[...] = jnp.zeros_like(dbih_scratch)
+        dwhh_scratch[...] = jnp.zeros_like(dwhh_scratch)
+        dbhh_scratch[...] = jnp.zeros_like(dbhh_scratch)
 
-    ph = dw_scratch.shape[0]
+    _fill_xp_scratch(x_ref, w_ih_ref, b_ih_ref, gxp_scratch,
+                     ph=ph, t_tile=t_tile, shared=shared)
+
     w_hh = [w_hh_ref[hh] for hh in range(ph)]      # ph × (3H, H)
     b_hh = [b_hh_ref[hh, 0] for hh in range(ph)]   # ph × (3H,)
 
@@ -238,7 +332,7 @@ def _bwd_kernel(xp_ref, hprev_ref, douts_ref, w_hh_ref, b_hh_ref,
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32) \
                 + b_hh[hh]
-            xr, xz, xn = jnp.split(xp_ref[hh, t], 3, axis=-1)
+            xr, xz, xn = jnp.split(gxp_scratch[hh, t], 3, axis=-1)
             hr, hz, hn = jnp.split(hp, 3, axis=-1)
             r = jax.nn.sigmoid(xr + hr)
             z = jax.nn.sigmoid(xz + hz)
@@ -248,14 +342,14 @@ def _bwd_kernel(xp_ref, hprev_ref, douts_ref, w_hh_ref, b_hh_ref,
             da = dh * (1.0 - z) * (1.0 - n * n)
             dbr = da * hn * r * (1.0 - r)
             ghid = jnp.concatenate([dbr, dz, da * r], axis=-1)  # grad wrt hp
-            dxp_ref[hh, t] = jnp.concatenate([dbr, dz, da], axis=-1)
+            gxp_scratch[hh, t] = jnp.concatenate([dbr, dz, da], axis=-1)
 
             new.append(dh * z + jnp.dot(ghid, w_hh[hh],
                                         preferred_element_type=jnp.float32))
-            dw_scratch[hh] += jax.lax.dot_general(
+            dwhh_scratch[hh] += jax.lax.dot_general(
                 ghid, h_prev, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            db_scratch[hh] += jnp.sum(ghid, axis=0, keepdims=True)
+            dbhh_scratch[hh] += jnp.sum(ghid, axis=0, keepdims=True)
         return tuple(new)
 
     dhs = jax.lax.fori_loop(0, t_tile, step,
@@ -263,44 +357,88 @@ def _bwd_kernel(xp_ref, hprev_ref, douts_ref, w_hh_ref, b_hh_ref,
     for hh in range(ph):
         dh_scratch[hh] = dhs[hh]
 
+    # Whole-tile input-projection grads from the gx now in gxp_scratch.
+    dx_acc = None
+    for hh in range(ph):
+        gx_all = gxp_scratch[hh].reshape(t_tile * gxp_scratch.shape[2],
+                                         gxp_scratch.shape[3])
+        xt = _x_tile_2d(x_ref, hh, shared, t_tile)
+        dwih_scratch[hh] += jax.lax.dot_general(
+            gx_all, xt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbih_scratch[hh] += jnp.sum(gx_all, axis=0, keepdims=True)
+        contrib = jnp.dot(gx_all, w_ih_ref[hh],
+                          preferred_element_type=jnp.float32)  # (tt·Bt, D)
+        if shared:
+            dx_acc = contrib if dx_acc is None else dx_acc + contrib
+        else:
+            dx_ref[hh] = contrib.reshape(dx_ref.shape[1:])
+    if shared:
+        dx_ref[0] = dx_acc.reshape(dx_ref.shape[1:])
+
     @pl.when(k == n_tt - 1)
     def _():
-        dwhh_ref[:, 0] = dw_scratch[...]
-        dbhh_ref[:, 0] = db_scratch[...]
+        dwih_ref[:, 0] = dwih_scratch[...]
+        dbih_ref[:, 0] = dbih_scratch[...]
+        dwhh_ref[:, 0] = dwhh_scratch[...]
+        dbhh_ref[:, 0] = dbhh_scratch[...]
         dh0_ref[...] = dh_scratch[...]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array,
-                          douts: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
+def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
+                          douts: jax.Array, w_ih: jax.Array, b_ih: jax.Array,
+                          w_hh: jax.Array, b_hh: jax.Array,
                           interpret: bool = False):
-    """All arrays time-major: xp_b (P,T,B,3H), hprev/douts (P,T,B,H).
-    Gate activations are rematerialized from hprev + xp, so the forward's
-    outs never enter the kernel.  Returns (dxp (P,T,B,3H), dwhh (P,3H,H),
-    dbhh (P,3H), dh0 (P,B,H))."""
-    p, t, b, three_h = xp_b.shape
-    hidden = three_h // 3
-    # Streams: xp (3H) + hprev (H) + douts (H) in, dxp (3H) out; 2x buffered.
-    ph, bt, tt = _pick_tiles(p, b, t, hidden, stream_h_units=16)
+    """All arrays time-major: x_tm (T,B,D) shared or (P,T,B,D) per-head,
+    hprev/douts (P,T,B,H).  Gate activations are rematerialized from hprev
+    + the in-kernel re-projected xp, so neither the forward's outs nor any
+    xp/dxp tensor enters HBM.  Returns (dx_tm — (T,B,D) shared (already
+    head-reduced) or (P,T,B,D) —, dwih (P,3H,D), dbih (P,3H),
+    dwhh (P,3H,H), dbhh (P,3H), dh0 (P,B,H))."""
+    shared = x_tm.ndim == 3
+    t, b, d = x_tm.shape[-3:]
+    p, three_h, hidden = w_hh.shape
+    ph, bt, tt = _pick_tiles(p, b, t, hidden, d, shared, mode="bwd")
     n_bt, n_tt = b // bt, t // tt
 
     # Time-tile k walks the sequence back to front.
     rev = lambda i, j, k: (i, n_tt - 1 - k, j, 0)  # noqa: E731
-    kernel = functools.partial(_bwd_kernel, t_tile=tt, n_tt=n_tt, hidden=hidden)
-    dxp, dwhh_p, dbhh_p, dh0 = pl.pallas_call(
+    if shared:
+        x_spec = pl.BlockSpec((tt, bt, d), lambda i, j, k: (n_tt - 1 - k, j, 0),
+                              memory_space=pltpu.VMEM)
+        # Each head-tile program writes its own partial dx; summed below.
+        dx_spec = pl.BlockSpec((1, tt, bt, d), rev, memory_space=pltpu.VMEM)
+        dx_shape = jax.ShapeDtypeStruct((p // ph, t, b, d), x_tm.dtype)
+    else:
+        x_spec = pl.BlockSpec((ph, tt, bt, d), rev, memory_space=pltpu.VMEM)
+        dx_spec = pl.BlockSpec((ph, tt, bt, d), rev, memory_space=pltpu.VMEM)
+        dx_shape = jax.ShapeDtypeStruct((p, t, b, d), x_tm.dtype)
+
+    kernel = functools.partial(_bwd_kernel, t_tile=tt, n_tt=n_tt, ph=ph,
+                               hidden=hidden, shared=shared)
+    dx, dwih_p, dbih_p, dwhh_p, dbhh_p, dh0 = pl.pallas_call(
         kernel,
         grid=(p // ph, n_bt, n_tt),
         in_specs=[
-            pl.BlockSpec((ph, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, three_h, d), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, 1, three_h), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, 1, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ph, tt, bt, three_h), rev, memory_space=pltpu.VMEM),
+            dx_spec,
+            pl.BlockSpec((ph, 1, three_h, d), lambda i, j, k: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, 1, 1, three_h), lambda i, j, k: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, 1, three_h, hidden),
                          lambda i, j, k: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -310,19 +448,28 @@ def _fused_recurrence_bwd(xp_b: jax.Array, hprev: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((p, t, b, three_h), xp_b.dtype),
-            jax.ShapeDtypeStruct((p, n_bt, three_h, hidden), xp_b.dtype),
-            jax.ShapeDtypeStruct((p, n_bt, 1, three_h), xp_b.dtype),
-            jax.ShapeDtypeStruct((p, b, hidden), xp_b.dtype),
+            dx_shape,
+            jax.ShapeDtypeStruct((p, n_bt, three_h, d), x_tm.dtype),
+            jax.ShapeDtypeStruct((p, n_bt, 1, three_h), x_tm.dtype),
+            jax.ShapeDtypeStruct((p, n_bt, three_h, hidden), x_tm.dtype),
+            jax.ShapeDtypeStruct((p, n_bt, 1, three_h), x_tm.dtype),
+            jax.ShapeDtypeStruct((p, b, hidden), x_tm.dtype),
         ],
         scratch_shapes=[
+            pltpu.VMEM((ph, tt, bt, three_h), jnp.float32),
             pltpu.VMEM((ph, bt, hidden), jnp.float32),
+            pltpu.VMEM((ph, three_h, d), jnp.float32),
+            pltpu.VMEM((ph, 1, three_h), jnp.float32),
             pltpu.VMEM((ph, three_h, hidden), jnp.float32),
             pltpu.VMEM((ph, 1, three_h), jnp.float32),
         ],
         interpret=interpret,
-    )(xp_b, hprev, douts, w_hh, b_hh[:, None, :])
-    return dxp, dwhh_p.sum(axis=1), dbhh_p[:, :, 0, :].sum(axis=1), dh0
+    )(x_tm, hprev, douts, w_ih, b_ih[:, None, :], w_hh, b_hh[:, None, :])
+
+    if shared:
+        dx = dx.sum(axis=0)                        # reduce head-tile partials
+    return (dx, dwih_p.sum(axis=1), dbih_p[:, :, 0, :].sum(axis=1),
+            dwhh_p.sum(axis=1), dbhh_p[:, :, 0, :].sum(axis=1), dh0)
 
 
 _INTERPRET = False   # set True on CPU (tests) via ops.pallas_gru.set_interpret
@@ -345,28 +492,21 @@ def _fused_core(w_ih, b_ih, w_hh, b_hh, x, h0):
 
 
 def _fused_core_fwd(w_ih, b_ih, w_hh, b_hh, x, h0):
-    params = GRUParams(w_ih=w_ih, w_hh=w_hh, b_ih=b_ih, b_hh=b_hh)
-    xp = jnp.swapaxes(_project_inputs(params, x), 1, 2)     # (P,T,B,3H)
-    outs_tm = _fused_recurrence(xp, w_hh, b_hh, h0, interpret=_INTERPRET)
+    x_tm = _time_major(x)
+    outs_tm = _fused_recurrence(x_tm, w_ih, b_ih, w_hh, b_hh, h0,
+                                interpret=_INTERPRET)
     outs = jnp.swapaxes(outs_tm, 1, 2)
-    return outs, (w_ih, w_hh, b_hh, x, h0, xp, outs_tm)
+    return outs, (w_ih, b_ih, w_hh, b_hh, x_tm, h0, outs_tm)
 
 
 def _fused_core_bwd(res, douts):
-    w_ih, w_hh, b_hh, x, h0, xp, outs_tm = res
+    w_ih, b_ih, w_hh, b_hh, x_tm, h0, outs_tm = res
     hprev = jnp.concatenate([h0[:, None], outs_tm[:, :-1]], axis=1)
     douts_tm = jnp.swapaxes(douts, 1, 2)
-    dxp, dwhh, dbhh, dh0 = _fused_recurrence_bwd(
-        xp, hprev, douts_tm, w_hh, b_hh, interpret=_INTERPRET)
-
-    db_ih = jnp.sum(dxp, axis=(1, 2))                       # (P, 3H)
-    if x.ndim == 3:
-        dw_ih = jnp.einsum("ptbg,btd->pgd", dxp, x)
-        dx = jnp.einsum("ptbg,pgd->btd", dxp, w_ih)
-    else:
-        dw_ih = jnp.einsum("ptbg,pbtd->pgd", dxp, x)
-        dx = jnp.einsum("ptbg,pgd->pbtd", dxp, w_ih)
-    return dw_ih, db_ih, dwhh, dbhh, dx, dh0
+    dx_tm, dwih, dbih, dwhh, dbhh, dh0 = _fused_recurrence_bwd(
+        x_tm, hprev, douts_tm, w_ih, b_ih, w_hh, b_hh, interpret=_INTERPRET)
+    dx = _time_major(dx_tm)      # swap back: (T,B,D)->(B,T,D) / 4D analogue
+    return dwih, dbih, dwhh, dbhh, dx, dh0
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
