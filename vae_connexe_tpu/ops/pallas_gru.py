@@ -10,11 +10,15 @@ Decomposition (see pallas_guide.md):
    **sequentially**, so the hidden state lives in VMEM scratch and carries
    across time tiles with no HBM round trips; per-step outputs stream to
    the output blocks.  Time tiling bounds VMEM at any sequence length.
-   Up to ``_PH_MAX`` heads are packed per program and statically unrolled:
-   their per-step dots are independent and pipeline through the MXU,
-   cutting the sequential dependency chain from p·T to (p/ph)·T small
-   matmuls (measured +10% end-to-end on the longhorizon training workload,
-   403 → 445 steps/s).
+   Up to ``_PH_MAX`` heads are packed per program and advanced together
+   by ONE batched 3D ``dot_general`` per step (this Mosaic version
+   accepts batched dots inside ``fori_loop``; round 1's per-head
+   statically-unrolled 2D dots measured +10% over one-head programs, the
+   batched form a further +16% — 403 → 445 → 843 steps/s end-to-end on
+   longhorizon together with the in-kernel projection below), cutting
+   the sequential dependency chain from p·T to (p/ph)·T batched matmuls.
+   Mosaic pitfall: broadcasting a (ph, 1, 3H) bias against a 3D vector
+   crashes the compiler, so b_hh arrives pre-broadcast to (ph, Bt, 3H).
 2. The input projection ``x @ W_ih^T`` is computed **inside the kernel**,
    one whole-tile MXU matmul per head into a VMEM scratch, from the raw
    (tt, bt, D) x block.  The (P, B, T, 3H) pre-projection therefore never
@@ -100,10 +104,11 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
         # Streamed = index map varies with the time-tile axis (×2 double
         # buffer); resident = k-constant blocks + outputs written once
         # (×1); scratch ×1.  Calibrated against Mosaic's scoped-vmem
-        # reports (it single-buffers k-constant blocks).
+        # reports (it single-buffers k-constant blocks).  b_hh arrives
+        # pre-broadcast to (ph, bt, 3H) — see _fwd_kernel.step.
         x_blk = blk(tt, bt, d_in) if shared else blk(ph, tt, bt, d_in)
         weights = (blk(ph, three_h, d_in) + blk(ph, three_h, hidden)
-                   + 2 * blk(ph, 1, three_h))
+                   + blk(ph, 1, three_h) + blk(ph, bt, three_h))
         if mode == "fwd":
             streamed = x_blk + blk(ph, tt, bt, hidden)
             resident = weights + blk(ph, bt, hidden)          # h0
@@ -189,25 +194,20 @@ def _fwd_kernel(x_ref, w_ih_ref, b_ih_ref, w_hh_ref, b_hh_ref, h0_ref,
     _fill_xp_scratch(x_ref, w_ih_ref, b_ih_ref, xp_scratch,
                      ph=ph, t_tile=t_tile, shared=shared)
 
-    w_hh = [w_hh_ref[hh] for hh in range(ph)]      # ph × (3H, H)
-    b_hh = [b_hh_ref[hh, 0] for hh in range(ph)]   # ph × (3H,)
+    def step(t, h):                                # h: (ph, Bt, H)
+        # One batched 3D dot covers every head in the block — the heads'
+        # dots pipeline through the MXU as a single instruction stream.
+        # b_hh arrives pre-broadcast to (ph, Bt, 3H): Mosaic crashes on a
+        # (ph, 1, 3H) middle-axis broadcast against a 3D vector.
+        hp = jax.lax.dot_general(h, w_hh_ref[...],
+                                 (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) \
+            + b_hh_ref[...]
+        h_new = _gru_gates(xp_scratch[:, t], hp, h)
+        outs_ref[:, t] = h_new
+        return h_new
 
-    def step(t, hs):                               # hs: ph × (Bt, H)
-        new = []
-        for hh in range(ph):
-            hp = jax.lax.dot_general(hs[hh], w_hh[hh],
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32) \
-                + b_hh[hh]
-            h_new = _gru_gates(xp_scratch[hh, t], hp, hs[hh])
-            outs_ref[hh, t] = h_new
-            new.append(h_new)
-        return tuple(new)
-
-    hs = jax.lax.fori_loop(0, t_tile, step,
-                           tuple(h_scratch[hh] for hh in range(ph)))
-    for hh in range(ph):
-        h_scratch[hh] = hs[hh]
+    h_scratch[...] = jax.lax.fori_loop(0, t_tile, step, h_scratch[...])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -242,7 +242,7 @@ def _fused_recurrence(x_tm: jax.Array, w_ih: jax.Array, b_ih: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, 1, three_h), lambda i, j, k: (i, 0, 0),
+            pl.BlockSpec((ph, bt, three_h), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, bt, hidden), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -256,7 +256,8 @@ def _fused_recurrence(x_tm: jax.Array, w_ih: jax.Array, b_ih: jax.Array,
             pltpu.VMEM((ph, bt, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(x_tm, w_ih, b_ih[:, None, :], w_hh, b_hh[:, None, :], h0)
+    )(x_tm, w_ih, b_ih[:, None, :], w_hh,
+      jnp.broadcast_to(b_hh[:, None, :], (p, b, three_h)), h0)
 
 
 def _time_major(x: jax.Array) -> jax.Array:
@@ -318,44 +319,38 @@ def _bwd_kernel(x_ref, hprev_ref, douts_ref, w_ih_ref, b_ih_ref, w_hh_ref,
     _fill_xp_scratch(x_ref, w_ih_ref, b_ih_ref, gxp_scratch,
                      ph=ph, t_tile=t_tile, shared=shared)
 
-    w_hh = [w_hh_ref[hh] for hh in range(ph)]      # ph × (3H, H)
-    b_hh = [b_hh_ref[hh, 0] for hh in range(ph)]   # ph × (3H,)
-
-    def step(i, dhs):                              # dhs: ph × (Bt, H)
+    def step(i, dh_c):                             # dh_c: (ph, Bt, H)
         t = t_tile - 1 - i
-        new = []
-        for hh in range(ph):
-            h_prev = hprev_ref[hh, t]
-            dh = douts_ref[hh, t] + dhs[hh]
+        h_prev = hprev_ref[:, t]
+        dh = douts_ref[:, t] + dh_c
 
-            hp = jax.lax.dot_general(h_prev, w_hh[hh],
-                                     (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32) \
-                + b_hh[hh]
-            xr, xz, xn = jnp.split(gxp_scratch[hh, t], 3, axis=-1)
-            hr, hz, hn = jnp.split(hp, 3, axis=-1)
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
+        # All heads per step as batched 3D dots; b_hh pre-broadcast to
+        # (ph, Bt, 3H) — see _fwd_kernel.step.
+        hp = jax.lax.dot_general(h_prev, w_hh_ref[...],
+                                 (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) \
+            + b_hh_ref[...]
+        xr, xz, xn = jnp.split(gxp_scratch[:, t], 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
 
-            dz = dh * (h_prev - n) * z * (1.0 - z)
-            da = dh * (1.0 - z) * (1.0 - n * n)
-            dbr = da * hn * r * (1.0 - r)
-            ghid = jnp.concatenate([dbr, dz, da * r], axis=-1)  # grad wrt hp
-            gxp_scratch[hh, t] = jnp.concatenate([dbr, dz, da], axis=-1)
+        dz = dh * (h_prev - n) * z * (1.0 - z)
+        da = dh * (1.0 - z) * (1.0 - n * n)
+        dbr = da * hn * r * (1.0 - r)
+        ghid = jnp.concatenate([dbr, dz, da * r], axis=-1)  # grad wrt hp
+        gxp_scratch[:, t] = jnp.concatenate([dbr, dz, da], axis=-1)
 
-            new.append(dh * z + jnp.dot(ghid, w_hh[hh],
-                                        preferred_element_type=jnp.float32))
-            dwhh_scratch[hh] += jax.lax.dot_general(
-                ghid, h_prev, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbhh_scratch[hh] += jnp.sum(ghid, axis=0, keepdims=True)
-        return tuple(new)
+        dwhh_scratch[...] += jax.lax.dot_general(
+            ghid, h_prev, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (ph, 3H, H)
+        dbhh_scratch[...] += jnp.sum(ghid, axis=1, keepdims=True)
+        return dh * z + jax.lax.dot_general(
+            ghid, w_hh_ref[...], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
 
-    dhs = jax.lax.fori_loop(0, t_tile, step,
-                            tuple(dh_scratch[hh] for hh in range(ph)))
-    for hh in range(ph):
-        dh_scratch[hh] = dhs[hh]
+    dh_scratch[...] = jax.lax.fori_loop(0, t_tile, step, dh_scratch[...])
 
     # Whole-tile input-projection grads from the gx now in gxp_scratch.
     dx_acc = None
@@ -430,7 +425,7 @@ def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, 1, three_h), lambda i, j, k: (i, 0, 0),
+            pl.BlockSpec((ph, bt, three_h), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -464,7 +459,8 @@ def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
             pltpu.VMEM((ph, 1, three_h), jnp.float32),
         ],
         interpret=interpret,
-    )(x_tm, hprev, douts, w_ih, b_ih[:, None, :], w_hh, b_hh[:, None, :])
+    )(x_tm, hprev, douts, w_ih, b_ih[:, None, :], w_hh,
+      jnp.broadcast_to(b_hh[:, None, :], (p, b, three_h)))
 
     if shared:
         dx = dx.sum(axis=0)                        # reduce head-tile partials
