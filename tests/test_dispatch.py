@@ -109,3 +109,14 @@ class TestIncellProjection:
         o2, h2 = gru_scan_heads(params, xp, h0)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-6, atol=1e-7)
+
+
+def test_auto_policy_small_batch_many_heads(monkeypatch):
+    """Short-T fused dispatch: only in the many-heads/small-batch regime,
+    and only on TPU (measured A/B in RESULTS.md)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert dispatch.use_fused(40, n_heads=128, batch=64)      # xl: fused wins
+    assert not dispatch.use_fused(40, n_heads=128, batch=256)  # big batch
+    assert not dispatch.use_fused(20, n_heads=20, batch=256)   # north star
+    assert not dispatch.use_fused(40, n_heads=40, batch=64)    # few heads
+    assert dispatch.use_fused(65, n_heads=2, batch=1024)       # long T always

@@ -22,18 +22,27 @@ def set_fused(value: bool | None) -> None:
     _FORCED = value
 
 
-def use_fused(t_len: int) -> bool:
+def use_fused(t_len: int, n_heads: int = 1, batch: int | None = None) -> bool:
     if _FORCED is not None:
         return _FORCED
+    if jax.default_backend() != "tpu":
+        return False
     # Measured regimes on v5e (RESULTS.md "Optimizations evaluated"):
-    # - short T (<= UNROLL_MAX_T): the unrolled straight-line recurrence in
-    #   ops.gru wins — Pallas launches inside the training scan cost ~100us
-    #   each on this runtime, while the unrolled form has zero loop
-    #   overhead (1686 vs 1516 steps/s on the p=20 north-star workload).
-    # - long T: the time-tiled fused kernels win — 11.5 vs 21.5 ms/step at
-    #   T=256, H=128 (lax.scan pays per-iteration while-loop overhead T
-    #   times; the kernel pays one launch and keeps h in VMEM).
-    return t_len > UNROLL_MAX_T and jax.default_backend() == "tpu"
+    # - long T (> UNROLL_MAX_T): the time-tiled fused kernels win — the
+    #   kernel pays one launch and keeps h in VMEM, while lax.scan pays
+    #   per-iteration while-loop overhead T times (and the unrolled form
+    #   is kept to T <= 64 to bound program size).
+    # - short T, large batch: the unrolled straight-line recurrence wins —
+    #   big hoisted MXU dots at B=256 beat the kernel (p=20: 3083 vs
+    #   ~2030; p=40 h=128: 174 vs 115; p=128 B=256: 75 vs 32 steps/s).
+    # - short T, SMALL batch with many heads (the xl serving/training
+    #   regime, p=128 B=64 ctx=40): the fused kernel wins 287 vs 211 —
+    #   with little per-op work the unrolled path hits the in-device
+    #   per-op latency floor, while the kernel's batched in-VMEM steps
+    #   don't pay it.
+    if t_len > UNROLL_MAX_T:
+        return True
+    return n_heads >= 96 and batch is not None and batch <= 96
 
 
 def heads_recurrence(params: GRUParams, x, h0):
@@ -41,7 +50,7 @@ def heads_recurrence(params: GRUParams, x, h0):
     Pallas kernels (fwd + custom-VJP bwd) for long sequences on TPU,
     ``lax.scan`` otherwise.  Contract of ``ops.gru.gru_scan_heads``."""
     t_len = x.shape[-2]
-    if use_fused(t_len):
+    if use_fused(t_len, n_heads=params.w_ih.shape[0], batch=x.shape[-3]):
         from vae_connexe_tpu.ops.pallas_gru import gru_scan_heads_fused
         return gru_scan_heads_fused(params, x, h0)
     return gru_scan_heads(params, x, h0)

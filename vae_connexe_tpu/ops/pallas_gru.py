@@ -101,23 +101,29 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
         return n
 
     def fits(ph: int, bt: int, tt: int) -> bool:
-        # Streamed = index map varies with the time-tile axis (×2 double
-        # buffer); resident = k-constant blocks + outputs written once
-        # (×1); scratch ×1.  Calibrated against Mosaic's scoped-vmem
-        # reports (it single-buffers k-constant blocks).  b_hh arrives
-        # pre-broadcast to (ph, bt, 3H) — see _fwd_kernel.step.
+        # Per-block accounting with buffering multipliers calibrated
+        # against Mosaic's scoped-vmem reports: blocks whose index map
+        # varies with ANY grid axis are double-buffered — the time-tile
+        # streams always, the batch-indexed blocks (h0/dh0, dW outputs,
+        # the pre-broadcast b_hh) only when there is more than one batch
+        # tile (observed: identical block sets fit at n_bt=1 and OOM'd by
+        # the ~3 MB those blocks occupy at n_bt=2).  k-constant,
+        # j-constant blocks and scratch are single-buffered.
+        jb = 2 if bt < b else 1                # batch-varying buffering
         x_blk = blk(tt, bt, d_in) if shared else blk(ph, tt, bt, d_in)
         weights = (blk(ph, three_h, d_in) + blk(ph, three_h, hidden)
-                   + blk(ph, 1, three_h) + blk(ph, bt, three_h))
+                   + blk(ph, 1, three_h) + jb * blk(ph, bt, three_h))
         if mode == "fwd":
             streamed = x_blk + blk(ph, tt, bt, hidden)
-            resident = weights + blk(ph, bt, hidden)          # h0
+            resident = weights + jb * blk(ph, bt, hidden)     # h0
             scratch = blk(ph, tt, bt, three_h) + blk(ph, bt, hidden)
         else:
             dx_blk = blk(1, tt, bt, d_in) if shared else blk(ph, tt, bt, d_in)
             streamed = x_blk + 2 * blk(ph, tt, bt, hidden) + dx_blk
-            dw_out = (blk(ph, 1, three_h, d_in) + blk(ph, 1, three_h, hidden)
-                      + 2 * blk(ph, 1, 1, three_h) + blk(ph, bt, hidden))
+            dw_out = jb * (blk(ph, 1, three_h, d_in)
+                           + blk(ph, 1, three_h, hidden)
+                           + 2 * blk(ph, 1, 1, three_h)
+                           + blk(ph, bt, hidden))
             resident = weights + dw_out
             scratch = (blk(ph, tt, bt, three_h) + blk(ph, bt, hidden)
                        + blk(ph, three_h, d_in) + blk(ph, three_h, hidden)
