@@ -1,0 +1,69 @@
+"""Fused serving rollout kernels: parity vs the lax model paths.
+
+Interpreter mode (CPU).  On real TPU these compile and match but measure
+SLOWER than the lax paths at serving shapes (see the module docstring of
+``ops/pallas_rollout.py``) — the lax paths stay the default; these tests
+keep the kernels honest for re-evaluation on other runtimes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_connexe_tpu.models import CRVAE, ErrorVAE
+from vae_connexe_tpu.models.crvae import masked_heads
+from vae_connexe_tpu.ops.pallas_rollout import (
+    crvae_free_run_fused,
+    errvae_sample_fused,
+)
+
+
+def test_crvae_rollout_parity():
+    p, hidden, b, t = 4, 8, 16, 6
+    model = CRVAE(p=p, hidden=hidden, rollout_len=t)
+    params = model.init(jax.random.key(0))
+    parents = (jax.random.uniform(jax.random.key(9), (p, p)) > 0.3)
+    parents = parents.astype(jnp.float32)
+    noise = jax.random.normal(jax.random.key(1), (b, t, p))
+    key = jax.random.key(2)
+
+    ref = model.rollout(params, key, b, noise=noise, parents=parents)
+    heads = masked_heads(params.heads, parents)
+    h0 = jax.random.normal(key, (b, hidden))        # rollout's h0 draw
+    fused = crvae_free_run_fused(heads, params.readout, jnp.zeros((b, p)),
+                                 h0, noise, model.noise_scale,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_crvae_conditioned_start_parity():
+    """Nonzero x0 (the conditioned_rollout entry shape)."""
+    p, hidden, b, t = 3, 8, 8, 5
+    model = CRVAE(p=p, hidden=hidden, rollout_len=t)
+    params = model.init(jax.random.key(0))
+    x0 = jax.random.normal(jax.random.key(3), (b, p))
+    h0 = jax.random.normal(jax.random.key(4), (b, hidden))
+    noise = jax.random.normal(jax.random.key(5), (b, t, p))
+
+    h0b = jnp.broadcast_to(h0, (p, b, hidden))
+    ref = model._free_run(params, params.heads, x0, h0b, noise)
+    fused = crvae_free_run_fused(params.heads, params.readout, x0, h0,
+                                 noise, model.noise_scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_errvae_sample_parity():
+    p, hidden, b, t = 4, 8, 16, 6
+    err = ErrorVAE(d=p, hidden=hidden, rollout_len=t)
+    eparams = err.init(jax.random.key(3))
+    key = jax.random.key(4)
+
+    ref = err.sample(eparams, key, b)
+    h0 = jax.random.normal(key, (b, hidden))        # sample's h0 draw
+    fused = errvae_sample_fused(eparams.dec, eparams.out, h0, p, t,
+                                interpret=True)
+    fused = jnp.concatenate([jnp.zeros((b, 1, p)), fused], axis=1)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                               rtol=1e-5, atol=1e-6)
