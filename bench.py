@@ -44,6 +44,7 @@ CHIP_PEAKS = {
 # lorenz96 reference-at-p20, lorenz96_longhorizon, lorenz96_xl).
 WORKLOADS = {
     "train": dict(p=20, t=2048, context=20, hidden=64, batch=256),
+    "phase2": dict(p=20, t=2048, context=20, hidden=64, batch=256),
     "longhorizon": dict(p=10, t=4096, context=128, hidden=64, batch=128),
     "xl": dict(p=128, t=8192, context=40, hidden=128, batch=64),
 }
@@ -123,9 +124,12 @@ def main():
     ap.add_argument("--warmup-chunks", type=int, default=6)
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
     ap.add_argument("--workload",
-                    choices=["train", "longhorizon", "xl", "generate"],
+                    choices=["train", "phase2", "longhorizon", "xl",
+                             "generate"],
                     default="train",
                     help="train = phase-1 steps/sec at p=20 (headline); "
+                         "phase2 = generation-phase steps/sec (CRVAE SGD + "
+                         "error-VAE Adam per step) at p=20; "
                          "longhorizon = ctx=128 fused decode path; "
                          "xl = p=128; generate = rollout serving throughput")
     args = ap.parse_args()
@@ -141,6 +145,8 @@ def main():
 
     if args.workload == "generate":
         return bench_generate(args)
+    if args.workload == "phase2":
+        return bench_phase2(args)
 
     from vae_connexe_tpu.data import arrange_input, lorenz96
     from vae_connexe_tpu.models import CRVAE
@@ -206,6 +212,71 @@ def main():
                                args.batch, args.context,
                                str(device.device_kind)))
     print(json.dumps(out))
+
+
+def bench_phase2(args):
+    """Generation-phase training steps/sec: one step = CRVAE forward +
+    backward + SGD + mask projection (λ = 0) PLUS the error VAE's Adam
+    step on the stop-gradient residuals — the reference's phase-2
+    iteration (``author_CRVAE.py:612-646``), which its drivers run for
+    2× as many iterations as phase 1."""
+    import optax
+
+    from vae_connexe_tpu.data import arrange_input, lorenz96
+    from vae_connexe_tpu.models import CRVAE, ErrorVAE
+    from vae_connexe_tpu.train import Phase2Config
+    from vae_connexe_tpu.train.crvae_trainer import (
+        Phase2State,
+        make_phase2_step,
+    )
+
+    series = lorenz96(jax.random.key(0), p=args.p, t=args.t)
+    windows, _ = arrange_input(series, args.context)
+
+    model = CRVAE(p=args.p, hidden=args.hidden)
+    err = ErrorVAE(d=args.p, hidden=args.hidden)
+    cfg = Phase2Config(lr=5e-2, batch_size=args.batch, check_every=100)
+    params = model.init(jax.random.key(1))
+    err_params = err.init(jax.random.key(2))
+    # A plausible mid-training structure: the circulant truth's density.
+    parents = jnp.ones((args.p, args.p), jnp.float32)
+    err_opt = optax.adam(cfg.lr_error)
+    step = make_phase2_step(model, err, cfg, windows, parents, err_opt)
+
+    chunk_len = 100
+
+    @jax.jit
+    def run_chunk(state):
+        return jax.lax.scan(step, state, None, length=chunk_len)
+
+    state = Phase2State(params=params, err_params=err_params,
+                        err_opt=err_opt.init(err_params), prior=None,
+                        best_params=params, best_loss=jnp.array(jnp.inf),
+                        key=jax.random.key(3), step=jnp.zeros([], jnp.int32))
+
+    m = None
+    for _ in range(args.warmup_chunks):
+        state, m = run_chunk(state)
+    if m is not None:
+        _ = float(m["recon"][-1])
+
+    n_chunks = max(1, args.steps // chunk_len)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, m = run_chunk(state)
+    final_recon = float(m["recon"][-1])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_chunks * chunk_len / dt
+    print(json.dumps({
+        "metric": f"crvae_lorenz96_phase2_p{args.p}_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "device": str(jax.devices()[0].device_kind),
+        "timed_steps": n_chunks * chunk_len,
+        "final_recon": final_recon,
+    }))
 
 
 def bench_generate(args):
