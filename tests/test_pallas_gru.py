@@ -97,3 +97,37 @@ def test_unrolled_matches_scan_path():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ht_scan), np.asarray(ht_unr),
                                atol=1e-5)
+
+
+def test_multitile_parity(monkeypatch):
+    """Force a real (head, batch, time)-tiled grid in interpret mode: the
+    default test shapes fit one program, leaving the cross-tile machinery
+    (h/dh scratch carries, reverse-time dW accumulation, grid-constant
+    pre-broadcast b_hh blocks, batch-tile buffering) uncovered off-TPU."""
+    monkeypatch.setattr(pallas_gru, "_VMEM_BUDGET", 220 * 1024)
+    p, b, t, d, h = 4, 16, 12, 5, 8
+    ph, bt, tt = pallas_gru._pick_tiles(p, b, t, h, d, True, "fwd")
+    assert (p // ph) * (b // bt) * (t // tt) > 1, (ph, bt, tt)
+
+    params = init_stacked_gru(jax.random.key(7), p, d, h)
+    x = jax.random.normal(jax.random.key(8), (b, t, d))
+    h0 = jax.random.normal(jax.random.key(9), (p, b, h))
+    tgt = jax.random.normal(jax.random.key(10), (p, b, t, h))
+
+    def loss(fn):
+        def f(p_, x_, h_):
+            outs, ht = fn(p_, x_, h_)
+            return jnp.sum((outs - tgt) ** 2) + jnp.sum(ht * 0.3)
+        return f
+
+    o1, h1 = gru_scan_heads(params, x, h0)
+    o2, h2 = pallas_gru.fused_gru_scan_heads(params, x, h0, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+
+    g1 = jax.grad(loss(gru_scan_heads), argnums=(0, 1, 2))(params, x, h0)
+    g2 = jax.grad(loss(pallas_gru.gru_scan_heads_fused), argnums=(0, 1, 2))(
+        params, x, h0)
+    for a, bb in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-4)

@@ -65,54 +65,57 @@ def _divisors_desc(n: int):
     return [d for d in range(n, 0, -1) if n % d == 0]
 
 
+def _blk(*shape):
+    """Padded f32 elems of one VMEM block: Mosaic rounds the last dim up to
+    128 lanes (decisive — a D=10 stream occupies 128 lanes, as wide as a
+    hidden-width block) and the second-to-last to 8 sublanes.  Shared by
+    the VMEM accounting in this module, ``pallas_step`` and
+    ``pallas_rollout``."""
+    dims = list(shape)
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // 8) * 8
+    n = 1
+    for v in dims:
+        n *= v
+    return n
+
+
 def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
                 shared: bool, mode: str):
     """Choose (head_tile, batch_tile, time_tile).
 
     The TPU grid iterates sequentially, so every (head, batch) program pays
     the full T-step dependency chain — the recurrence's latency is
-    (p/ph)·(b/bt)·T dependent small matmuls.  Packing ``ph`` heads into
-    each program turns the per-step matmul into a batched dot over
-    independent heads (they pipeline through the MXU with no dependency
-    stalls), dividing the chain length by ph.  Preference order is
-    therefore: largest head tile, then full batch, then the largest time
-    tile that fits VMEM.
+    (p/ph)·(b/bt)·T dependent batched matmuls.  Packing ``ph`` heads into
+    each program advances them together in one batched 3D dot per step,
+    dividing the chain length by ph.  Preference order is therefore:
+    largest head tile, then full batch, then the largest time tile that
+    fits VMEM.
 
     Constraints: ph | p; bt | b and (bt % 8 == 0 or bt == b) (Mosaic
     sublane rule); tt | t.
 
-    VMEM accounting is per explicit block with Mosaic tiling padding —
-    the last dim rounds up to 128 lanes (decisive: a D=10 x stream costs
-    128 lanes, so per-head x blocks are as wide as hidden-width blocks)
-    and the second-to-last to 8 sublanes; every in/out block is counted
-    ×2 for the pipeline's double buffering, scratch ×1.
+    VMEM accounting is per explicit padded block (``_blk``) with buffering
+    multipliers calibrated against Mosaic's scoped-vmem reports: blocks
+    whose index map varies with a grid axis are double-buffered — the
+    time-tile streams always, the batch-indexed blocks (h0/dh0, dW
+    outputs) only when there is more than one batch tile (observed:
+    identical block sets fit at n_bt=1 and OOM'd by the ~3 MB those
+    blocks occupy at n_bt=2).  Grid-constant blocks and scratch are
+    single-buffered.
     """
     three_h = 3 * hidden
-
-    def blk(*shape):
-        """Padded f32 elems of one VMEM block (lane/sublane rounding)."""
-        dims = list(shape)
-        dims[-1] = -(-dims[-1] // 128) * 128
-        if len(dims) >= 2:
-            dims[-2] = -(-dims[-2] // 8) * 8
-        n = 1
-        for v in dims:
-            n *= v
-        return n
+    blk = _blk
 
     def fits(ph: int, bt: int, tt: int) -> bool:
-        # Per-block accounting with buffering multipliers calibrated
-        # against Mosaic's scoped-vmem reports: blocks whose index map
-        # varies with ANY grid axis are double-buffered — the time-tile
-        # streams always, the batch-indexed blocks (h0/dh0, dW outputs,
-        # the pre-broadcast b_hh) only when there is more than one batch
-        # tile (observed: identical block sets fit at n_bt=1 and OOM'd by
-        # the ~3 MB those blocks occupy at n_bt=2).  k-constant,
-        # j-constant blocks and scratch are single-buffered.
         jb = 2 if bt < b else 1                # batch-varying buffering
         x_blk = blk(tt, bt, d_in) if shared else blk(ph, tt, bt, d_in)
+        # b_hh is pre-broadcast to one (p, bt, 3H) tile with a j-constant
+        # index map — identical values for every batch tile — so it is
+        # grid-constant (×1).
         weights = (blk(ph, three_h, d_in) + blk(ph, three_h, hidden)
-                   + blk(ph, 1, three_h) + jb * blk(ph, bt, three_h))
+                   + blk(ph, 1, three_h) + blk(ph, bt, three_h))
         if mode == "fwd":
             streamed = x_blk + blk(ph, tt, bt, hidden)
             resident = weights + jb * blk(ph, bt, hidden)     # h0
@@ -132,8 +135,8 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
         return 4 * need <= _VMEM_BUDGET
 
     bt_candidates = [b] + [d for d in _divisors_desc(b) if d % 8 == 0 and d != b]
-    # Heads unroll statically inside the kernel (Mosaic rejects 3D batched
-    # dots inside the time loop); cap the unroll to bound program size.
+    # _PH_MAX bounds the per-head whole-tile fill loops' program size (the
+    # per-step path is batched and does not grow with ph).
     for ph in [d for d in _divisors_desc(p) if d <= _PH_MAX]:
         for bt in bt_candidates:
             for tt in _divisors_desc(t):
@@ -179,17 +182,17 @@ def _fwd_kernel(x_ref, w_ih_ref, b_ih_ref, w_hh_ref, b_hh_ref, h0_ref,
     """One (head-tile, batch-tile, time-tile) program.
 
     Blocks: x (tt, Bt, D) shared or (ph, tt, Bt, D) per-head,
-    w_ih (ph, 3H, D), b_ih (ph, 1, 3H), w_hh (ph, 3H, H), b_hh (ph, 1, 3H),
+    w_ih (ph, 3H, D), b_ih (ph, 1, 3H), w_hh (ph, 3H, H),
+    b_hh (ph, Bt, 3H) pre-broadcast (grid-constant — see the wrapper),
     h0 (ph, Bt, H), outs (ph, tt, Bt, H).  The time-tile grid axis iterates
     sequentially; ``h_scratch`` carries the hidden state between tiles and
     ``xp_scratch`` holds the tile's in-kernel input projection.
 
-    The ph heads in the block are statically unrolled: within one time step
-    their (Bt, H) @ (H, 3H) dots are independent instructions that pipeline
-    through the MXU, so the sequential dependency chain is T steps — not
-    the ph·T a head-per-grid-program layout pays.  (A batched 3D dot would
-    express the same thing, but Mosaic's vector layout pass rejects 3D
-    vectors inside the time loop; all values here stay 2D.)
+    All ph heads in the block advance together: one batched 3D
+    ``dot_general`` per step (this Mosaic version accepts batched dots in
+    ``fori_loop``; the whole-tile fill loops stay per-head 2D), so the
+    sequential dependency chain is T batched steps — not the ph·T a
+    head-per-grid-program layout pays.
     """
     k = pl.program_id(2)
 
@@ -248,7 +251,9 @@ def _fused_recurrence(x_tm: jax.Array, w_ih: jax.Array, b_ih: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, bt, three_h), lambda i, j, k: (i, j, 0),
+            # b_hh pre-broadcast to ONE (p, bt, 3H) tile, grid-constant
+            # along j (its values are identical for every batch tile).
+            pl.BlockSpec((ph, bt, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, bt, hidden), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -263,7 +268,7 @@ def _fused_recurrence(x_tm: jax.Array, w_ih: jax.Array, b_ih: jax.Array,
         ],
         interpret=interpret,
     )(x_tm, w_ih, b_ih[:, None, :], w_hh,
-      jnp.broadcast_to(b_hh[:, None, :], (p, b, three_h)), h0)
+      jnp.broadcast_to(b_hh[:, None, :], (p, bt, three_h)), h0)
 
 
 def _time_major(x: jax.Array) -> jax.Array:
@@ -431,7 +436,8 @@ def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, hidden), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, bt, three_h), lambda i, j, k: (i, j, 0),
+            # b_hh: one grid-constant pre-broadcast tile (see forward).
+            pl.BlockSpec((ph, bt, three_h), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -466,7 +472,7 @@ def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
         ],
         interpret=interpret,
     )(x_tm, hprev, douts, w_ih, b_ih[:, None, :], w_hh,
-      jnp.broadcast_to(b_hh[:, None, :], (p, b, three_h)))
+      jnp.broadcast_to(b_hh[:, None, :], (p, bt, three_h)))
 
     if shared:
         dx = dx.sum(axis=0)                        # reduce head-tile partials

@@ -41,34 +41,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vae_connexe_tpu.ops.gru import GRUParams
+from vae_connexe_tpu.ops.pallas_gru import _blk, _gru_gates as _gates
 from vae_connexe_tpu.utils.layers import Dense
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _blk(*shape):
-    dims = list(shape)
-    dims[-1] = -(-dims[-1] // 128) * 128
-    if len(dims) >= 2:
-        dims[-2] = -(-dims[-2] // 8) * 8
-    n = 1
-    for v in dims:
-        n *= v
-    return n
-
-
 def _dot(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-
-
-def _gates(xp, hp, h):
-    xr, xz, xn = jnp.split(xp, 3, axis=-1)
-    hr, hz, hn = jnp.split(hp, 3, axis=-1)
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    return (1.0 - z) * n + z * h
 
 
 # --------------------------------------------------------------------------

@@ -40,21 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vae_connexe_tpu.models.crvae import CRVAEParams
 from vae_connexe_tpu.ops.gru import GRUParams
+from vae_connexe_tpu.ops.pallas_gru import _blk
 from vae_connexe_tpu.utils.layers import Dense
 
 _VMEM_BUDGET = 14 * 1024 * 1024
-
-
-def _blk(*shape):
-    """Padded f32 elems of one VMEM block (lane/sublane rounding)."""
-    dims = list(shape)
-    dims[-1] = -(-dims[-1] // 128) * 128
-    if len(dims) >= 2:
-        dims[-2] = -(-dims[-2] // 8) * 8
-    n = 1
-    for v in dims:
-        n *= v
-    return n
 
 
 def _pick_bt(b: int, p: int, t_dec: int, e: int, t: int, d: int, h: int) -> int:
