@@ -45,6 +45,7 @@ CHIP_PEAKS = {
 WORKLOADS = {
     "train": dict(p=20, t=2048, context=20, hidden=64, batch=256),
     "phase2": dict(p=20, t=2048, context=20, hidden=64, batch=256),
+    "sweep": dict(p=20, t=2048, context=20, hidden=64, batch=256),
     "longhorizon": dict(p=10, t=4096, context=128, hidden=64, batch=128),
     "xl": dict(p=128, t=8192, context=40, hidden=128, batch=64),
 }
@@ -125,13 +126,16 @@ def main():
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
     ap.add_argument("--workload",
                     choices=["train", "phase2", "longhorizon", "xl",
-                             "generate"],
+                             "generate", "sweep"],
                     default="train",
                     help="train = phase-1 steps/sec at p=20 (headline); "
                          "phase2 = generation-phase steps/sec (CRVAE SGD + "
                          "error-VAE Adam per step) at p=20; "
                          "longhorizon = ctx=128 fused decode path; "
-                         "xl = p=128; generate = rollout serving throughput")
+                         "xl = p=128; generate = rollout serving throughput; "
+                         "sweep = vmapped multi-seed phase-1 (seed-steps/s)")
+    ap.add_argument("--seeds", type=int, default=8,
+                    help="seed count for --workload sweep")
     args = ap.parse_args()
     if args.quick:
         args.steps = 300
@@ -147,6 +151,8 @@ def main():
         return bench_generate(args)
     if args.workload == "phase2":
         return bench_phase2(args)
+    if args.workload == "sweep":
+        return bench_sweep(args)
 
     from vae_connexe_tpu.data import arrange_input, lorenz96
     from vae_connexe_tpu.models import CRVAE
@@ -278,6 +284,50 @@ def bench_phase2(args):
         "device": str(jax.devices()[0].device_kind),
         "timed_steps": n_chunks * chunk_len,
         "final_recon": final_recon,
+    }))
+
+
+def bench_sweep(args):
+    """Vmapped multi-seed phase-1 sweep throughput (seed-steps/sec): S
+    independent models train simultaneously in one compiled program — the
+    BASELINE.json north-star sweep mode (single-chip here; on a mesh the
+    seed axis shards over dp, see ``parallel/seed_sweep.py``)."""
+    from vae_connexe_tpu.data import arrange_input, lorenz96
+    from vae_connexe_tpu.models import CRVAE
+    from vae_connexe_tpu.parallel.seed_sweep import make_sweep_fn
+    from vae_connexe_tpu.train import Phase1Config
+
+    series = lorenz96(jax.random.key(0), p=args.p, t=args.t)
+    windows, _ = arrange_input(series, args.context)
+    model = CRVAE(p=args.p, hidden=args.hidden)
+    parents = jnp.ones((args.p, args.p), jnp.float32)
+    seeds = jnp.arange(args.seeds)
+    n_iter = max(100, args.steps // 2)
+    cfg = Phase1Config(lam=0.1, lr=5e-2, batch_size=args.batch,
+                       max_iter=n_iter, resample_batches=True)
+
+    # Build the compiled sweep ONCE (make_sweep_fn; a fresh build per call
+    # would re-trace the whole S×max_iter program), then warm the
+    # executable past the relay's slow-ramp dispatches before timing.
+    run = make_sweep_fn(model, windows, parents, cfg)
+    for i in range(4):
+        out = run(seeds)
+        _ = float(out["mean_loss"][-1])
+    t0 = time.perf_counter()
+    out = run(seeds)
+    mean_loss = float(out["mean_loss"][-1])            # scalar sync
+    dt = time.perf_counter() - t0
+
+    seed_steps = args.seeds * n_iter / dt
+    print(json.dumps({
+        "metric": f"crvae_lorenz96_sweep_p{args.p}_seed_steps_per_sec",
+        "value": round(seed_steps, 2),
+        "unit": "seed-steps/sec",
+        "vs_baseline": round(seed_steps / TORCH_CPU_BASELINE_P20, 2),
+        "seeds": args.seeds,
+        "iters_per_seed": n_iter,
+        "final_mean_loss": mean_loss,
+        "device": str(jax.devices()[0].device_kind),
     }))
 
 

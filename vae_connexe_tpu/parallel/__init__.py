@@ -13,7 +13,7 @@ from vae_connexe_tpu.parallel.mesh import (
     shard_batch,
 )
 from vae_connexe_tpu.parallel.multihost import initialize_multihost
-from vae_connexe_tpu.parallel.seed_sweep import sweep_phase1
+from vae_connexe_tpu.parallel.seed_sweep import make_sweep_fn, sweep_phase1
 from vae_connexe_tpu.parallel.seq_parallel import (
     seq_sharded_gru,
     seq_sharded_gru_heads,
@@ -28,5 +28,6 @@ __all__ = [
     "seq_sharded_gru",
     "seq_sharded_gru_heads",
     "shard_batch",
+    "make_sweep_fn",
     "sweep_phase1",
 ]

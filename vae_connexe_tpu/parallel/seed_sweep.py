@@ -16,17 +16,17 @@ from vae_connexe_tpu.train.config import Phase1Config
 from vae_connexe_tpu.train.crvae_trainer import Phase1State, make_phase1_step
 
 
-def sweep_phase1(model: CRVAE, windows: jax.Array, parents: jax.Array,
-                 cfg: Phase1Config, seeds: jax.Array, mesh=None):
-    """Train one phase-1 model per seed, all at once.
+def make_sweep_fn(model: CRVAE, windows: jax.Array, parents: jax.Array,
+                  cfg: Phase1Config, mesh=None):
+    """Build the compiled multi-seed sweep callable ONCE.
 
-    Args:
-      windows: (N, ctx, p) shared window set (replicated).
-      seeds: (S,) integer seeds.
-      mesh: optional Mesh; if given, the seed axis is sharded over 'dp'.
-
-    Returns dict with stacked per-seed GC scores (S, p, p) and final
-    mean_loss (S,).
+    Returns ``run(seeds) -> dict`` with stacked per-seed GC scores
+    (S, p, p), final mean_loss (S,) and best_loss (S,).  Hold on to the
+    returned callable when sweeping repeatedly — each ``make_sweep_fn``
+    call produces a fresh ``jax.jit`` closure, so rebuilding it per sweep
+    re-traces and re-lowers the entire S×max_iter training program
+    (seconds of host work per call even when the remote compile cache
+    hits).
     """
     step = make_phase1_step(model, cfg, windows, parents)
 
@@ -44,19 +44,39 @@ def sweep_phase1(model: CRVAE, windows: jax.Array, parents: jax.Array,
                 "best_loss": state.best_loss}
 
     fn = jax.vmap(train_one)
-    n_seeds = int(seeds.shape[0])
     if mesh is not None:
-        # Pad the seed axis to a dp multiple (pjit would otherwise fail with
-        # an opaque uneven-sharding error); the pad rows re-run the last seed
-        # and are sliced off below.
-        n_dp = mesh.shape["dp"]
-        pad = (-n_seeds) % n_dp
-        if pad:
-            seeds = jnp.concatenate([seeds, jnp.broadcast_to(seeds[-1], (pad,))])
         fn = jax.jit(fn,
                      in_shardings=NamedSharding(mesh, P("dp")),
                      out_shardings=NamedSharding(mesh, P("dp")))
     else:
         fn = jax.jit(fn)
-    out = fn(seeds)
-    return jax.tree.map(lambda x: x[:n_seeds], out)
+
+    def run(seeds: jax.Array):
+        n_seeds = int(seeds.shape[0])
+        if mesh is not None:
+            # Pad the seed axis to a dp multiple (pjit would otherwise fail
+            # with an opaque uneven-sharding error); the pad rows re-run the
+            # last seed and are sliced off below.
+            n_dp = mesh.shape["dp"]
+            pad = (-n_seeds) % n_dp
+            if pad:
+                seeds = jnp.concatenate(
+                    [seeds, jnp.broadcast_to(seeds[-1], (pad,))])
+        out = fn(seeds)
+        return jax.tree.map(lambda x: x[:n_seeds], out)
+
+    return run
+
+
+def sweep_phase1(model: CRVAE, windows: jax.Array, parents: jax.Array,
+                 cfg: Phase1Config, seeds: jax.Array, mesh=None):
+    """Train one phase-1 model per seed, all at once (one-shot wrapper
+    around ``make_sweep_fn`` — build the callable directly for repeated
+    sweeps).
+
+    Args:
+      windows: (N, ctx, p) shared window set (replicated).
+      seeds: (S,) integer seeds.
+      mesh: optional Mesh; if given, the seed axis is sharded over 'dp'.
+    """
+    return make_sweep_fn(model, windows, parents, cfg, mesh)(seeds)
