@@ -10,7 +10,7 @@ Where do the ~325 us of one training step go?  Two decompositions:
    separates the fixed per-step cost (dispatch + scan floor + small-op
    latency) from the per-sample streaming cost (the HBM story).
 
-Run: python benchmarks/step_anatomy.py [--p 20] [--chunks 10]
+Run: python benchmarks/step_anatomy.py [--p 20] [--chunk 100]
 """
 
 from __future__ import annotations

@@ -133,26 +133,17 @@ def _cmd_eval(args):
             roll = model.sample(params, jax.random.key(args.seed + 1),
                                 args.generate, exp.t)
     elif exp.model_family == "csrae":
-        from vae_connexe_tpu.data import arrange_input
-        from vae_connexe_tpu.models import MixtureCSRAE
+        from vae_connexe_tpu.configs.experiments import (
+            csrae_eval_metrics,
+            make_csrae_inputs,
+        )
 
-        windows, _ = arrange_input(series, exp.context)
-        x = (windows.reshape(windows.shape[0], -1) > 0).astype(jnp.float32)
-        cfgc = exp.csrae
-        model = MixtureCSRAE(input_dim=x.shape[-1],
-                             hidden_dims=cfgc.hidden_dims,
-                             latent_dim=cfgc.latent_dim, k=cfgc.k,
-                             lambda_cs=cfgc.lambda_cs,
-                             cs_variant=cfgc.cs_variant)
+        x, model = make_csrae_inputs(exp, series)
         params = restore_checkpoint(args.checkpoint,
                                     model.init(jax.random.key(0)))
         scores = truth = None   # no causal graph for the CS-RAE
-        logits, _, _ = model.forward(params, x[:512], jax.random.key(args.seed))
-        results["recon_accuracy"] = float(
-            ((logits > 0).astype(jnp.float32) == x[:512]).mean())
-        total, bce, cs = model.loss(params, x[:512], jax.random.key(args.seed))
-        results["loss"] = {"total": float(total), "bce": float(bce),
-                           "cs": float(cs)}
+        results.update(csrae_eval_metrics(model, params, x,
+                                          jax.random.key(args.seed)))
         if args.generate:
             roll = model.sample(params, jax.random.key(args.seed + 1),
                                 args.generate)

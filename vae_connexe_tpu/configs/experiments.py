@@ -198,6 +198,40 @@ def _make_dataset(exp: Experiment, key: jax.Array):
     return series, truth
 
 
+def make_csrae_inputs(exp: Experiment, series: jax.Array):
+    """Binarized flattened windows + the configured MixtureCSRAE.
+
+    Shared by ``run_experiment`` and ``cli eval`` so an eval-time model can
+    never be constructed inconsistently with the checkpoint it restores
+    (binarization, flattening and model kwargs live in exactly one place).
+    Flatten to (N, ctx·p) and binarize at 0 (series is standardized per
+    variable, so the split is balanced) — Bernoulli data for the
+    BCE-with-logits decoder (``CS-RAE.py:128-135``).
+    """
+    from vae_connexe_tpu.data import arrange_input
+    from vae_connexe_tpu.models import MixtureCSRAE
+
+    windows, _ = arrange_input(series, exp.context)
+    x = (windows.reshape(windows.shape[0], -1) > 0).astype(jnp.float32)
+    cfgc = exp.csrae
+    model = MixtureCSRAE(input_dim=x.shape[-1], hidden_dims=cfgc.hidden_dims,
+                         latent_dim=cfgc.latent_dim, k=cfgc.k,
+                         lambda_cs=cfgc.lambda_cs, cs_variant=cfgc.cs_variant)
+    return x, model
+
+
+def csrae_eval_metrics(model, params, x: jax.Array, key: jax.Array) -> dict:
+    """Reconstruction accuracy + loss decomposition on a 512-row slice —
+    the sanity metrics both the experiment driver and ``cli eval`` report."""
+    logits, _, _ = model.forward(params, x[:512], key)
+    total, bce, cs = model.loss(params, x[:512], key)
+    return {
+        "recon_accuracy": float(
+            ((logits > 0).astype(jnp.float32) == x[:512]).mean()),
+        "loss": {"total": float(total), "bce": float(bce), "cs": float(cs)},
+    }
+
+
 def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                    overrides: Optional[dict[str, Any]] = None,
                    run_phase2: bool = True, verbose: bool = True,
@@ -330,10 +364,15 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             # mode the reference's W_in variant demonstrates (CRVAE.py:105-123).
             k_c1, k_c2 = jax.random.split(jax.random.fold_in(k_gen, 1))
             ctxs = windows[:256, : model.enc_len, :]
+            # ErrorVAE.sample returns length+1 steps (it keeps the leading
+            # zero step) — slice to rollout_len exactly as
+            # generate_with_compensation does, so the conditioned rollout
+            # is rollout_len steps like the cold start.
             noise_c = err_model.sample(err2, k_c1, ctxs.shape[0],
                                        model.rollout_len)
-            cond = model.conditioned_rollout(best2, ctxs, k_c2, noise=noise_c,
-                                             parents=mask)
+            cond = model.conditioned_rollout(
+                best2, ctxs, k_c2, noise=noise_c[:, : model.rollout_len],
+                parents=mask)
             mm_c = moment_match(windows, cond)
             results["generation_moment_gap_conditioned"] = {
                 "mean_abs_gap": float(mm_c["mean_abs_gap"].mean()),
@@ -398,22 +437,10 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                             gc_matrix=np.asarray(gc_bin))
 
     elif exp.model_family == "csrae":
-        from vae_connexe_tpu.data import arrange_input
-        from vae_connexe_tpu.models import MixtureCSRAE
         from vae_connexe_tpu.train import fit_csrae
 
-        windows, _ = arrange_input(series, exp.context)
-        # Flatten to (N, ctx·p) and binarize at 0 (series is standardized
-        # per variable, so the split is balanced) — Bernoulli data for the
-        # BCE-with-logits decoder (``CS-RAE.py:128-135``).
-        flat = windows.reshape(windows.shape[0], -1)
-        x = (flat > 0).astype(jnp.float32)
+        x, model = make_csrae_inputs(exp, series)
         cfgc = exp.csrae
-        model = MixtureCSRAE(input_dim=x.shape[-1],
-                             hidden_dims=cfgc.hidden_dims,
-                             latent_dim=cfgc.latent_dim, k=cfgc.k,
-                             lambda_cs=cfgc.lambda_cs,
-                             cs_variant=cfgc.cs_variant)
         params = model.init(k_init)
         init_total, init_bce, init_cs = model.loss(params, x[:512], k_run)
         params, m = fit_csrae(model, params, x, k_run, epochs=cfgc.epochs,
@@ -422,10 +449,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         results["train"] = m
         results["initial"] = {"total": float(init_total),
                               "bce": float(init_bce), "cs": float(init_cs)}
-        # Reconstruction accuracy on a held-out-ish slice (sanity metric).
-        logits, _, _ = model.forward(params, x[:512], k_gen)
-        results["recon_accuracy"] = float(
-            ((logits > 0).astype(jnp.float32) == x[:512]).mean())
+        results.update(csrae_eval_metrics(model, params, x, k_gen))
         samples = model.sample(params, k_gen, 64)
         results["generated_shape"] = list(samples.shape)
         if out:

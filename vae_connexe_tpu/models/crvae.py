@@ -145,10 +145,18 @@ class CRVAE:
     # ---------------- generation ----------------
 
     def _free_run(self, params: CRVAEParams, heads: GRUParams, x0: jax.Array,
-                  h0: jax.Array, noise: jax.Array) -> jax.Array:
+                  h0: jax.Array, noise: jax.Array,
+                  steps: Optional[int] = None) -> jax.Array:
         """Shared generation core: scan every head one GRU step per emitted
         value, injecting ``noise_scale * noise_t`` (the compensated value
         feeds the next step, ``author_CRVAE.py:284-286``)."""
+        if steps is not None and noise.shape[1] != steps:
+            # The scan length is noise.shape[1]; a silently mismatched noise
+            # would change the rollout length (ErrorVAE.sample returns
+            # length+1 steps — callers must slice).
+            raise ValueError(
+                f"noise has {noise.shape[1]} steps but the rollout wants "
+                f"{steps}; slice the error-VAE sample to the rollout length")
 
         def step(carry, noise_t):
             x_last, h = carry
@@ -180,7 +188,7 @@ class CRVAE:
         x0 = jnp.zeros((batch, self.p))
         if noise is None:
             noise = jnp.zeros((batch, steps, self.p))
-        return self._free_run(params, heads, x0, h0, noise)
+        return self._free_run(params, heads, x0, h0, noise, steps)
 
     def conditioned_rollout(self, params: CRVAEParams, x_context: jax.Array,
                             key: jax.Array, noise: Optional[jax.Array] = None,
@@ -214,7 +222,7 @@ class CRVAE:
         x0 = x_context[:, -1, :]
         if noise is None:
             noise = jnp.zeros((x0.shape[0], steps, self.p))
-        return self._free_run(params, heads, x0, h0, noise)
+        return self._free_run(params, heads, x0, h0, noise, steps)
 
     # ---------------- causal graph ----------------
 

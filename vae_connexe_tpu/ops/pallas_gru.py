@@ -85,13 +85,14 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
                 shared: bool, mode: str):
     """Choose (head_tile, batch_tile, time_tile).
 
-    The TPU grid iterates sequentially, so every (head, batch) program pays
-    the full T-step dependency chain — the recurrence's latency is
-    (p/ph)·(b/bt)·T dependent batched matmuls.  Packing ``ph`` heads into
-    each program advances them together in one batched 3D dot per step,
-    dividing the chain length by ph.  Preference order is therefore:
-    largest head tile, then full batch, then the largest time tile that
-    fits VMEM.
+    The TPU grid iterates sequentially, so the recurrence always executes
+    (p/ph)·(b/bt)·T per-step dots in sequence; what the tiling controls is
+    how much work each dot carries (ph·bt rows through the MXU) and hence
+    how well the fixed per-dot issue cost amortizes.  Objective: among
+    fitting candidates, maximize ph·bt (fewest, biggest programs),
+    tie-breaking on the largest time tile (fewest grid steps).  A greedy
+    ph-first scan can miss this (e.g. prefer (ph=4, bt=8) over the 8×
+    larger (ph=1, bt=256) in VMEM-tight regimes).
 
     Constraints: ph | p; bt | b and (bt % 8 == 0 or bt == b) (Mosaic
     sublane rule); tt | t.
@@ -135,13 +136,20 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
         return 4 * need <= _VMEM_BUDGET
 
     bt_candidates = [b] + [d for d in _divisors_desc(b) if d % 8 == 0 and d != b]
+    best = None
     # _PH_MAX bounds the per-head whole-tile fill loops' program size (the
     # per-step path is batched and does not grow with ph).
     for ph in [d for d in _divisors_desc(p) if d <= _PH_MAX]:
         for bt in bt_candidates:
             for tt in _divisors_desc(t):
                 if fits(ph, bt, tt):
-                    return ph, bt, tt
+                    cand = (ph * bt, tt, ph, bt)
+                    if best is None or cand > best:
+                        best = cand
+                    break                      # larger tt already found
+    if best is not None:
+        _, tt, ph, bt = best
+        return ph, bt, tt
     return 1, bt_candidates[-1] if bt_candidates else b, 1
 
 

@@ -31,23 +31,41 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from vae_connexe_tpu.ops.gru import GRUParams, _gates
+from vae_connexe_tpu.ops.gru import UNROLL_MAX_T, GRUParams, _gates
 
 
 def _chunk_recurrence(params: GRUParams, xp: jax.Array, h0: jax.Array):
-    """Straight-line recurrence over one local time chunk.
+    """Recurrence over one local time chunk: unrolled straight-line XLA for
+    short chunks, ``lax.scan`` beyond ``UNROLL_MAX_T`` — the same program-
+    size dispatch as ``ops.gru`` (this body is re-instantiated once per
+    pipeline round, so an unconditional unroll at Tc ≫ 64 would inline
+    (S+M-1)·Tc cells into one XLA graph and blow the remote-compile
+    request size; CLAUDE.md "Remote compile of large graphs").
 
     xp: (P, Bm, Tc, 3H) pre-projected inputs; h0: (P, Bm, H).
     Returns (outs (P, Bm, Tc, H), h_Tc (P, Bm, H)).
     """
     hidden = params.hidden
-    h = h0
-    outs = []
-    for t in range(xp.shape[2]):
-        hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]
-        h = _gates(xp[:, :, t], hp, h, hidden)
-        outs.append(h)
-    return jnp.stack(outs, axis=2), h
+    tc = xp.shape[2]
+
+    if tc <= UNROLL_MAX_T:
+        h = h0
+        outs = []
+        for t in range(tc):
+            hp = (jnp.einsum("pbh,pgh->pbg", h, params.w_hh)
+                  + params.b_hh[:, None, :])
+            h = _gates(xp[:, :, t], hp, h, hidden)
+            outs.append(h)
+        return jnp.stack(outs, axis=2), h
+
+    def step(h, xp_t):
+        hp = (jnp.einsum("pbh,pgh->pbg", h, params.w_hh)
+              + params.b_hh[:, None, :])
+        h_new = _gates(xp_t, hp, h, hidden)
+        return h_new, h_new
+
+    h_t, outs = jax.lax.scan(step, h0, jnp.moveaxis(xp, 2, 0))
+    return jnp.moveaxis(outs, 0, 2), h_t
 
 
 def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
@@ -62,8 +80,9 @@ def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
       x: (B, T, D) shared input sequence; T must divide by the sp size.
       h0: (P, B, H) initial hidden per head.
       mesh: mesh containing ``axis``.
-      microbatches: pipeline depth M (divides B).  Default: min(B, sp size),
-        which bounds the fill bubble at <= 50% and is exact when M == S.
+      microbatches: pipeline depth M (divides B).  Default: the largest
+        divisor of B that is <= the sp size — bounds the fill bubble at
+        <= 50% and is always valid (min(B, S) itself need not divide B).
 
     Returns:
       (outs (P, B, T, H), h_T (P, B, H)) — outs sharded on T over ``axis``,
@@ -76,7 +95,10 @@ def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
         raise ValueError(
             f"sequence length {t_len} not divisible by the '{axis}' mesh size "
             f"{n_sp} — pad the window or choose a dividing sp size")
-    m = microbatches if microbatches is not None else min(b, n_sp)
+    if microbatches is not None:
+        m = microbatches
+    else:
+        m = max(d for d in range(1, min(b, n_sp) + 1) if b % d == 0)
     if b % m:
         raise ValueError(
             f"batch {b} not divisible by microbatches={m} — choose a pipeline "
