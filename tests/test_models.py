@@ -181,3 +181,20 @@ def test_conditioned_rollout_uses_recent_context():
     ctx_c = jnp.concatenate([head_a, tail + 1.0], axis=1)
     out_c = model.conditioned_rollout(params, ctx_c, jax.random.key(3))
     assert not np.allclose(np.asarray(out_a), np.asarray(out_c))
+
+
+def test_rollout_rejects_mismatched_noise_length():
+    """ErrorVAE.sample returns length+1 steps; an unsliced pass-through must
+    be a clear error, not a silent rollout-length change (the round-2
+    conditioned-artifact bug)."""
+    import pytest
+
+    model = CRVAE(p=3, hidden=8, enc_len=3, rollout_len=5)
+    params = model.init(jax.random.key(0))
+    bad_noise = jnp.zeros((4, 6, 3))               # 6 != rollout_len 5
+    with pytest.raises(ValueError, match="slice the error-VAE sample"):
+        model.rollout(params, jax.random.key(1), 4, noise=bad_noise)
+    ctx = jnp.zeros((4, 3, 3))
+    with pytest.raises(ValueError, match="slice the error-VAE sample"):
+        model.conditioned_rollout(params, ctx, jax.random.key(2),
+                                  noise=bad_noise)

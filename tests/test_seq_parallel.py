@@ -83,3 +83,33 @@ def test_seq_sharded_divisibility_errors(eight_devices):
     params, x, h0 = _mk(jax.random.key(6), t=16, b=6)
     with pytest.raises(ValueError, match="microbatches"):
         seq_sharded_gru_heads(params, x, h0, mesh, microbatches=4)
+
+
+def test_default_microbatches_divide_odd_batch(eight_devices):
+    """min(B, S) need not divide B — the default must pick a divisor."""
+    mesh = _sp_mesh(eight_devices, 4)
+    p, b, t, d, h = 2, 6, 8, 3, 8          # b=6 on sp=4: min(6,4)=4 ∤ 6
+    params = init_stacked_gru(jax.random.key(0), p, d, h)
+    x = jax.random.normal(jax.random.key(1), (b, t, d))
+    h0 = jax.random.normal(jax.random.key(2), (p, b, h))
+    o_ref, h_ref = gru_scan_heads(params, x, h0)
+    o_sp, h_sp = seq_sharded_gru_heads(params, x, h0, mesh)
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_sp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_sp), atol=1e-5)
+
+
+def test_long_chunk_uses_scan_path(eight_devices):
+    """Local chunks beyond UNROLL_MAX_T take the lax.scan body (program-size
+    guard) and stay numerically equal to the single-device recurrence."""
+    from vae_connexe_tpu.ops.gru import UNROLL_MAX_T
+
+    mesh = _sp_mesh(eight_devices, 2)
+    p, b, d, h = 2, 4, 3, 8
+    t = 2 * (UNROLL_MAX_T + 4)             # per-device chunk > UNROLL_MAX_T
+    params = init_stacked_gru(jax.random.key(0), p, d, h)
+    x = jax.random.normal(jax.random.key(1), (b, t, d))
+    h0 = jax.random.normal(jax.random.key(2), (p, b, h))
+    o_ref, h_ref = gru_scan_heads(params, x, h0)
+    o_sp, h_sp = seq_sharded_gru_heads(params, x, h0, mesh)
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_sp), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_sp), atol=1e-4)
