@@ -323,7 +323,10 @@ def bench_sweep(args):
         "metric": f"crvae_lorenz96_sweep_p{args.p}_seed_steps_per_sec",
         "value": round(seed_steps, 2),
         "unit": "seed-steps/sec",
-        "vs_baseline": round(seed_steps / TORCH_CPU_BASELINE_P20, 2),
+        # Per-seed ratio — comparable to the train workload's vs_baseline
+        # (the aggregate ratio would inflate linearly with --seeds).
+        "vs_baseline": round(seed_steps / args.seeds / TORCH_CPU_BASELINE_P20, 2),
+        "aggregate_vs_baseline": round(seed_steps / TORCH_CPU_BASELINE_P20, 2),
         "seeds": args.seeds,
         "iters_per_seed": n_iter,
         "final_mean_loss": mean_loss,

@@ -15,6 +15,16 @@ _FORCED: bool | None = None
 if os.environ.get("VAE_CONNEXE_FUSED_GRU") in ("0", "1"):
     _FORCED = os.environ["VAE_CONNEXE_FUSED_GRU"] == "1"
 
+# Short-T fused-dispatch cutoffs (tunable, like ops.gru.UNROLL_MAX_T).
+# Measured anchor points on v5e (RESULTS.md round-2 A/B grid): fused wins at
+# (p=128, B=64) 287 vs 211 steps/s; unrolled wins at (p=128, B=256) 75 vs 32,
+# (p=40, B=256) 174 vs 115, (p=20, B=256) 3083 vs ~2030.  Configs in the
+# unmeasured gap (B≈128, heads 40-95) land on whichever side of these
+# constants — A/B with VAE_CONNEXE_FUSED_GRU=0/1 before trusting the default
+# there.
+FUSED_SHORT_T_MIN_HEADS = 96
+FUSED_SHORT_T_MAX_BATCH = 96
+
 
 def set_fused(value: bool | None) -> None:
     """Force fused (True), lax (False), or auto (None)."""
@@ -42,7 +52,8 @@ def use_fused(t_len: int, n_heads: int = 1, batch: int | None = None) -> bool:
     #   don't pay it.
     if t_len > UNROLL_MAX_T:
         return True
-    return n_heads >= 96 and batch is not None and batch <= 96
+    return (n_heads >= FUSED_SHORT_T_MIN_HEADS
+            and batch is not None and batch <= FUSED_SHORT_T_MAX_BATCH)
 
 
 def heads_recurrence(params: GRUParams, x, h0):

@@ -150,7 +150,17 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
     if best is not None:
         _, tt, ph, bt = best
         return ph, bt, tt
-    return 1, bt_candidates[-1] if bt_candidates else b, 1
+    # No candidate fit.  The minimal tiling is (ph=1, smallest bt, tt=1);
+    # if even that exceeds the budget, raise with the computed footprint
+    # instead of proceeding to an opaque Mosaic scoped-vmem OOM.
+    bt = bt_candidates[-1] if bt_candidates else b
+    if not fits(1, bt, 1):
+        raise ValueError(
+            f"fused GRU kernel: minimal tiling (ph=1, bt={bt}, tt=1) exceeds "
+            f"the {_VMEM_BUDGET >> 20} MiB VMEM budget at p={p}, b={b}, "
+            f"t={t}, hidden={hidden}, d_in={d_in} ({mode}) — use the lax "
+            f"path at this shape")
+    return 1, bt, 1
 
 
 def _gru_gates(xp_t, hp, h):

@@ -47,6 +47,20 @@ from vae_connexe_tpu.utils.layers import Dense
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _smallest_fitting_bt(b: int, fits, what: str) -> int:
+    """Largest batch tile (full batch, else a ×8 divisor — Mosaic sublane
+    rule) whose VMEM footprint fits.  Raises instead of silently falling
+    back to the full batch the fits() model just rejected (which would
+    surface later as an opaque Mosaic scoped-vmem OOM)."""
+    for cand in [b] + [v for v in range(b - 1, 0, -1) if b % v == 0 and v % 8 == 0]:
+        if fits(cand):
+            return cand
+    raise ValueError(
+        f"{what}: no batch tile of {b} fits the {_VMEM_BUDGET >> 20} MiB "
+        f"VMEM budget (smallest candidate already exceeds it) — reduce the "
+        f"batch or sequence length, or use the lax path")
+
+
 def _dot(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -99,11 +113,7 @@ def _crvae_rollout(x0, h0, noise_tm, wi, wh, bi, bh, ro_w, ro_b,
                 + (p + 2) * _blk(bt, hidden))                 # head states
         return 4 * need <= _VMEM_BUDGET
 
-    bt = b
-    for cand in [b] + [v for v in range(b - 1, 0, -1) if b % v == 0 and v % 8 == 0]:
-        if fits(cand):
-            bt = cand
-            break
+    bt = _smallest_fitting_bt(b, fits, "crvae rollout")
 
     kernel = functools.partial(_crvae_kernel, p=p, t_len=t_len,
                                noise_scale=float(noise_scale))
@@ -179,11 +189,7 @@ def _errvae_rollout(h0, wi, wh, bi, bh, ro_w, ro_b, d: int, t_len: int = 0,
                 + 3 * _blk(bt, hidden))
         return 4 * need <= _VMEM_BUDGET
 
-    bt = b
-    for cand in [b] + [v for v in range(b - 1, 0, -1) if b % v == 0 and v % 8 == 0]:
-        if fits(cand):
-            bt = cand
-            break
+    bt = _smallest_fitting_bt(b, fits, "errvae rollout")
 
     kernel = functools.partial(_errvae_kernel, t_len=t_len, d=d)
     tile = lambda *s: pl.BlockSpec(s, lambda j: (0,) * len(s),  # noqa: E731

@@ -64,7 +64,10 @@ def _pick_bt(b: int, p: int, t_dec: int, e: int, t: int, d: int, h: int) -> int:
     for bt in [b] + [v for v in range(b - 1, 0, -1) if b % v == 0 and v % 8 == 0]:
         if fits(bt):
             return bt
-    return 8 if b % 8 == 0 else b
+    raise ValueError(
+        f"megakernel: no batch tile of {b} fits the {_VMEM_BUDGET >> 20} MiB "
+        f"VMEM budget at p={p}, t_dec={t_dec}, h={h} — the resident "
+        f"params/saves alone exceed it; use the XLA step at this shape")
 
 
 def _gates_fwd(xp, hp, h):

@@ -125,8 +125,14 @@ def _track_best(state, candidate_params, mean_loss):
 # --------------------------------------------------------------------------
 
 def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
-                     parents: jax.Array, fixed_batch: Optional[jax.Array] = None):
-    """Build the jittable phase-1 step: (Phase1State,) -> (Phase1State, metrics)."""
+                     parents: jax.Array, fixed_batch: Optional[jax.Array] = None,
+                     batch_sharding=None):
+    """Build the jittable phase-1 step: (Phase1State,) -> (Phase1State, metrics).
+
+    ``batch_sharding`` (a ``NamedSharding``, meshed fits only) constrains the
+    gathered batch's layout so GSPMD splits the forward/backward over dp and
+    reduces gradients with an ICI psum instead of replicating the compute.
+    """
     if fixed_batch is None and not cfg.resample_batches:
         # Fixed-batch parity mode without a caller-provided batch: draw the
         # reference's ONE random gather (``author_CRVAE.py:473-476``) here,
@@ -142,6 +148,8 @@ def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
         else:
             idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, windows.shape[0])
             batch = jnp.take(windows, idx, axis=0)
+        if batch_sharding is not None:
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
 
         def loss_fn(params, prior):
             loss, aux = _crvae_loss(model, cfg, params, prior, batch, k_z,
