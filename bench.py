@@ -88,9 +88,69 @@ def phase1_flops_bytes(p: int, hidden: int, batch: int, ctx: int,
     return float(flops), float(hbm_bytes)
 
 
-def roofline_fields(steps_per_sec: float, p: int, hidden: int, batch: int,
-                    ctx: int, device_kind: str) -> dict:
-    flops, hbm = phase1_flops_bytes(p, hidden, batch, ctx)
+def errvae_flops_bytes(p: int, hidden: int, batch: int, t_dec: int,
+                       training: bool = True) -> tuple[float, float]:
+    """Analytic (flops, hbm_bytes) for one error-VAE training step on
+    (B, t_dec, p) residuals — same counting conventions as
+    ``phase1_flops_bytes`` (matmul FLOPs ×3 for fwd+bwd; saved-activation +
+    parameter-traffic byte lower bound).  Adam touches its two moment
+    buffers read+write on top of the SGD pattern (≈9 param passes)."""
+    H, B = hidden, batch
+    cell = 3 * 2 * H * (p + H)
+    fwd = B * (
+        t_dec * cell                   # encoder GRU
+        + 3 * 2 * H * H                # fc_mu, fc_std, z2h (latent == H)
+        + t_dec * (cell + 2 * H * p)   # decoder GRU + out head
+    )
+    flops = (3 * fwd) if training else fwd
+
+    f32 = 4
+    n_params = (2 * (3 * H * (p + H) + 6 * H)       # enc + dec GRU
+                + 3 * (H * H + H)                   # fc_mu, fc_std, z2h
+                + H * p + p)                        # out
+    param_passes = 9 if training else 1
+    act = 4 * B * H * 2 * t_dec                     # r,z,n,h per GRU step ×2
+    hbm = f32 * ((2 * act if training else act)
+                 + param_passes * n_params
+                 + 2 * B * t_dec * p)               # eps stream fwd+bwd
+    return float(flops), float(hbm)
+
+
+def phase2_flops_bytes(p: int, hidden: int, batch: int, ctx: int,
+                       enc_len: int = 10) -> tuple[float, float]:
+    """One phase-2 step = the phase-1 CRVAE update (λ=0 — identical compute)
+    + the error VAE's Adam step on the (B, ctx-enc_len, p) residuals."""
+    f1, b1 = phase1_flops_bytes(p, hidden, batch, ctx, enc_len)
+    f2, b2 = errvae_flops_bytes(p, hidden, batch, ctx - enc_len)
+    return f1 + f2, b1 + b2
+
+
+def generate_flops_bytes_per_sample(p: int, hidden: int, batch: int,
+                                    rollout_len: int = 21) -> tuple[float, float]:
+    """Serving: one compensated rollout sample = rollout_len error-VAE
+    decoder steps + rollout_len × p CRVAE head steps (+ readouts), forward
+    only.  Bytes per sample amortize the per-step parameter reads over the
+    serving batch; hidden states round-trip HBM between steps."""
+    H = hidden
+    cell = 3 * 2 * H * (p + H)
+    flops = rollout_len * (
+        cell + 2 * H * p               # error-VAE decoder step + out
+        + p * (cell + 2 * H))          # p heads + readouts
+    f32 = 4
+    head_params = p * (3 * H * (p + H) + 6 * H + H + 1)
+    err_params = 3 * H * (p + H) + 6 * H + H * p + p
+    param_bytes_per_step = f32 * (head_params + err_params) / batch
+    state_bytes = f32 * 2 * (p + 1) * H            # h in+out per step
+    out_bytes = f32 * 2 * p                        # sample write + noise read
+    hbm = rollout_len * (param_bytes_per_step + state_bytes + out_bytes)
+    return float(flops), float(hbm)
+
+
+def roofline_fields(steps_per_sec: float, flops: float, hbm: float,
+                    device_kind: str) -> dict:
+    """Roofline dict from per-step analytic (flops, bytes) and the achieved
+    rate (steps/s, seed-steps/s, or samples/s — per whatever unit the
+    analytic numbers describe)."""
     ai = flops / hbm
     fields = {
         "flops_per_step": flops,
@@ -214,8 +274,9 @@ def main():
         "timed_steps": n_chunks * chunk_len,
         "final_loss": final_loss,
     }
-    out.update(roofline_fields(steps_per_sec, args.p, args.hidden,
-                               args.batch, args.context,
+    flops, hbm = phase1_flops_bytes(args.p, args.hidden, args.batch,
+                                    args.context)
+    out.update(roofline_fields(steps_per_sec, flops, hbm,
                                str(device.device_kind)))
     print(json.dumps(out))
 
@@ -276,7 +337,7 @@ def bench_phase2(args):
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_chunks * chunk_len / dt
-    print(json.dumps({
+    out = {
         "metric": f"crvae_lorenz96_phase2_p{args.p}_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec",
@@ -284,7 +345,12 @@ def bench_phase2(args):
         "device": str(jax.devices()[0].device_kind),
         "timed_steps": n_chunks * chunk_len,
         "final_recon": final_recon,
-    }))
+    }
+    flops, hbm = phase2_flops_bytes(args.p, args.hidden, args.batch,
+                                    args.context)
+    out.update(roofline_fields(steps_per_sec, flops, hbm,
+                               str(jax.devices()[0].device_kind)))
+    print(json.dumps(out))
 
 
 def bench_sweep(args):
@@ -319,7 +385,7 @@ def bench_sweep(args):
     dt = time.perf_counter() - t0
 
     seed_steps = args.seeds * n_iter / dt
-    print(json.dumps({
+    out = {
         "metric": f"crvae_lorenz96_sweep_p{args.p}_seed_steps_per_sec",
         "value": round(seed_steps, 2),
         "unit": "seed-steps/sec",
@@ -331,7 +397,14 @@ def bench_sweep(args):
         "iters_per_seed": n_iter,
         "final_mean_loss": mean_loss,
         "device": str(jax.devices()[0].device_kind),
-    }))
+    }
+    # Per seed-step analytics = one phase-1 step (each seed carries its own
+    # params, so param traffic scales with seeds exactly as the unit does).
+    flops, hbm = phase1_flops_bytes(args.p, args.hidden, args.batch,
+                                    args.context)
+    out.update(roofline_fields(seed_steps, flops, hbm,
+                               str(jax.devices()[0].device_kind)))
+    print(json.dumps(out))
 
 
 def bench_generate(args):
@@ -383,7 +456,7 @@ def bench_generate(args):
         _ = float(acc)
         rates.append(n_gens * batch / (time.perf_counter() - t0))
     rates.sort()
-    print(json.dumps({
+    out = {
         "metric": f"crvae_p{args.p}_rollout_samples_per_sec",
         "value": round(rates[1], 1),                       # median of 3
         "unit": "samples/sec",
@@ -393,7 +466,12 @@ def bench_generate(args):
         "batch": batch,
         "gens_per_dispatch": n_gens,
         "device": str(jax.devices()[0].device_kind),
-    }))
+    }
+    flops, hbm = generate_flops_bytes_per_sample(args.p, args.hidden, batch,
+                                                 model.rollout_len)
+    out.update(roofline_fields(rates[1], flops, hbm,
+                               str(jax.devices()[0].device_kind)))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

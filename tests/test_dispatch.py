@@ -120,3 +120,55 @@ def test_auto_policy_small_batch_many_heads(monkeypatch):
     assert not dispatch.use_fused(20, n_heads=20, batch=256)   # north star
     assert not dispatch.use_fused(40, n_heads=40, batch=64)    # few heads
     assert dispatch.use_fused(65, n_heads=2, batch=1024)       # long T always
+
+
+class TestBF16Residuals:
+    """bf16 saved-residual storage (VAE_CONNEXE_BF16_RESID): forward stays
+    within bf16 rounding of f32, gradients stay finite and close, and the
+    flag restores cleanly."""
+
+    def _setup(self):
+        params = init_stacked_gru(jax.random.key(7), 5, 7, 16)
+        x = jax.random.normal(jax.random.key(8), (4, 12, 7))
+        h0 = jnp.zeros((5, 4, 16))
+        return params, x, h0
+
+    @pytest.mark.parametrize("incell", ["0", "1"])
+    def test_bf16_close_to_f32(self, monkeypatch, incell):
+        from vae_connexe_tpu.ops import gru as g
+        params, x, h0 = self._setup()
+        monkeypatch.setattr(g, "_INCELL_PROJ", incell)
+
+        def run(bf16):
+            monkeypatch.setattr(g, "_BF16_RESID", bf16)
+
+            def loss(p):
+                o, hT = gru_scan_heads(p, x, h0)
+                return (o.astype(jnp.float32) ** 2).sum() + (hT ** 2).sum()
+
+            o, hT = gru_scan_heads(params, x, h0)
+            return o.astype(jnp.float32), hT, jax.grad(loss)(params)
+
+        o_f, h_f, g_f = run(False)
+        o_b, h_b, g_b = run(True)
+        assert h_b.dtype == jnp.float32           # h_T contract stays f32
+        # bf16 has ~3 decimal digits; per-step rounding compounds over T=12.
+        np.testing.assert_allclose(np.asarray(o_b), np.asarray(o_f),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_f),
+                                   rtol=0.05, atol=0.05)
+        for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_f)):
+            assert np.all(np.isfinite(np.asarray(a)))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.2, atol=0.05)
+
+    def test_set_bf16_resid_toggle(self):
+        from vae_connexe_tpu.ops import gru as g
+        old = g._BF16_RESID
+        try:
+            g.set_bf16_resid(True)
+            assert g._BF16_RESID
+            g.set_bf16_resid(False)
+            assert not g._BF16_RESID
+        finally:
+            g.set_bf16_resid(old)

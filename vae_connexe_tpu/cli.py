@@ -9,6 +9,7 @@ Subcommands:
 Examples:
   python -m vae_connexe_tpu.cli list
   python -m vae_connexe_tpu.cli run lorenz96_crvae --iters 500 --no-phase2
+  python -m vae_connexe_tpu.cli run lorenz96_xl --mesh --ep 2   # sharded fit
   python -m vae_connexe_tpu.cli sweep --p 10 --seeds 8 --iters 1000
 """
 
@@ -40,11 +41,19 @@ def _cmd_run(args):
         overrides["win"] = dataclasses.replace(
             exp.win, stage1_epochs=max(1, args.iters // 10),
             stage2_epochs=max(1, args.iters // 20))
+    mesh = None
+    if args.mesh:
+        from vae_connexe_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_ep=args.ep)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+              file=sys.stderr)
     results = run_experiment(args.experiment, seed=args.seed,
                              out_dir=args.out_dir, overrides=overrides or None,
                              run_phase2=not args.no_phase2,
                              save_checkpoints=args.save_checkpoints,
                              artifacts_every=args.artifacts_every,
+                             mesh=mesh,
                              verbose=not args.quiet)
     print(json.dumps(results, indent=2, default=str))
 
@@ -197,6 +206,13 @@ def main(argv=None):
     p_run.add_argument("--artifacts-every", type=int, default=None,
                        help="phase-2: save samples + PCA/trajectory plots "
                             "every N iterations (needs --out-dir)")
+    p_run.add_argument("--mesh", action="store_true",
+                       help="train both phases sharded over all devices "
+                            "(batch over dp, decoder heads over ep; "
+                            "crvae family)")
+    p_run.add_argument("--ep", type=int, default=1,
+                       help="ep (head-parallel) mesh size for --mesh; "
+                            "dp = n_devices / ep")
     p_run.add_argument("--quiet", action="store_true")
     p_run.set_defaults(fn=_cmd_run)
 

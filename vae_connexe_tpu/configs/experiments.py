@@ -237,6 +237,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                    run_phase2: bool = True, verbose: bool = True,
                    save_checkpoints: bool = False,
                    artifacts_every: int | None = None,
+                   mesh=None,
                    log_fn=print) -> dict[str, Any]:
     """Execute a named experiment end to end.  Returns the metrics dict.
 
@@ -248,8 +249,16 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
     the reference's periodic phase-2 ritual (``author_CRVAE.py:688-696``):
     every N iterations, sample compensated rollouts, save them, and write a
     PCA comparison plus a trajectory overlay against the real windows.
+
+    ``mesh`` (a (dp, ep) ``jax.sharding.Mesh``; CRVAE family) trains BOTH
+    phases sharded over the mesh — batch over dp, stacked decoder heads
+    over ep — with results equal to the single-device run (same keys).
     """
     exp = get_experiment(name)
+    if mesh is not None and exp.model_family != "crvae":
+        raise ValueError(
+            f"--mesh supports the crvae family (two-phase trainer); "
+            f"{name!r} is {exp.model_family!r}")
     if overrides:
         exp = dataclasses.replace(exp, **overrides)
     key = jax.random.key(seed)
@@ -272,7 +281,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         params = model.init(k_init)
         full = jnp.ones((exp.p, exp.p), jnp.float32)
         best, state, m1 = fit_phase1(model, params, windows, full, exp.phase1,
-                                     k_run, verbose=verbose, log_fn=log_fn)
+                                     k_run, verbose=verbose, log_fn=log_fn,
+                                     mesh=mesh)
         scores = model.gc(best, threshold=False)
         gc_est = model.gc(best, threshold=True)
         results["phase1"] = m1
@@ -308,6 +318,20 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         if out:
             np.save(out / f"GC_{name}.npy", np.asarray(gc_est))
             np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))
+            if truth is not None:
+                # The reference's truth-vs-estimate heatmap pair with red
+                # disagreement rectangles (``author_CRVAE.py:763-784``), at
+                # the default binarization AND the auto-threshold operating
+                # point.
+                from vae_connexe_tpu.evals.viz import gc_heatmaps
+
+                gc_heatmaps(np.asarray(truth), np.asarray(gc_est),
+                            str(out / f"gc_heatmap_{name}.png"))
+                if "gc_auto" in results:
+                    gc_heatmaps(
+                        np.asarray(truth),
+                        np.asarray(scores) > results["gc_auto"]["threshold"],
+                        str(out / f"gc_heatmap_auto_{name}.png"))
         if save_checkpoints and out:
             from vae_connexe_tpu.utils import save_checkpoint
             save_checkpoint(str(out / "ckpt_phase1"), best, gc_matrix=gc_est)
@@ -348,7 +372,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
                                             err_params, windows, mask,
                                             exp.phase2, k_p2, verbose=verbose,
-                                            log_fn=log_fn, callback=callback)
+                                            log_fn=log_fn, callback=callback,
+                                            mesh=mesh)
             results["phase2"] = m2
             gen = generate_with_compensation(model, err_model, best2, err2,
                                              k_gen, 256, parents=mask)
@@ -417,19 +442,94 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                          tau=exp.tau)
         params = model.init(k_init)
         trainer = WInTrainer(model, exp.win)
-        params, m = trainer.fit(params, windows, k_run,
-                                verbose=verbose, log_fn=log_fn)
+        params, m, stage1_params = trainer.fit(params, windows, k_run,
+                                               verbose=verbose, log_fn=log_fn,
+                                               return_stage1=True)
         scores = model.granger_matrix(params, threshold=False)
         results["train"] = m
+        # Prediction-performance comparison (``CRVAE.py:333-350``): the
+        # reference evaluates the FINAL model's phase-1 forward (clean
+        # decode) against its phase-2 forward (decode + error
+        # compensation) on one batch and reports the improvement.  A third
+        # row measures the pruning cost: the pre-prune stage-I params
+        # through the same clean forward.
+        from vae_connexe_tpu.evals import prediction_mse
+
+        x_past = windows[:, : exp.tau, :]
+        x_cur = windows[:, exp.tau: 2 * exp.tau, :]
+        k_mse = jax.random.fold_in(k_run, 1)
+        pred_clean = model.forward(params, x_past, x_cur, k_mse, phase=1)[0]
+        pred_comp = model.forward(params, x_past, x_cur, k_mse, phase=2)[0]
+        pred_s1 = model.forward(stage1_params, x_past, x_cur, k_mse,
+                                phase=1)[0]
+        mse1 = float(prediction_mse(pred_clean, x_cur))
+        mse2 = float(prediction_mse(pred_comp, x_cur))
+        results["prediction_mse"] = {
+            "phase1_forward": mse1,
+            "phase2_forward_with_compensation": mse2,
+            "improvement_pct": round((1 - mse2 / mse1) * 100, 1),
+            "stage1_params_phase1_forward": float(
+                prediction_mse(pred_s1, x_cur)),
+        }
         if truth is not None:
+            from vae_connexe_tpu.evals import auto_threshold
+
             results["gc"] = {k: float(v) for k, v in
                              gc_metrics(truth, scores, exp.gc_threshold).items()}
             results["threshold_sweep"] = _sweep(truth, scores)
+            # Recommended operating points next to the parity row (round-2
+            # verdict: the fixed reference thresholds leave the binary
+            # metrics far below the AUROC-1.0 ranking's potential).
+            thr_auto = float(auto_threshold(scores))
+            results["gc_auto"] = {"threshold": thr_auto,
+                                  **{k: float(v) for k, v in
+                                     gc_metrics(truth, scores, thr_auto).items()}}
+            # Off-diagonal-only evaluation: the coupled-Hénon/VAR truths
+            # omit self-loops the dynamics genuinely contain (RESULTS.md
+            # notes), so the coupling structure the W_in norms encode is
+            # the off-diagonal ranking; threshold and score it directly.
+            offmask = ~np.eye(exp.p, dtype=bool)
+            s_off = jnp.asarray(np.asarray(scores)[offmask])
+            t_off = jnp.asarray(np.asarray(truth)[offmask])
+            thr_off = float(auto_threshold(s_off))
+            results["gc_offdiag_auto"] = {
+                "threshold": thr_off,
+                **{k: float(v) for k, v in
+                   gc_metrics(t_off, s_off, thr_off).items()
+                   if k != "auroc_offdiag"}}
+            # Best achievable off-diagonal operating point over a dense
+            # threshold grid — the ranking's potential, same ritual as
+            # henon_author's gc_dynamics_best_threshold.  Oracle-supervised
+            # (marked as such): the W_in score distribution decays smoothly
+            # between noise survivors and true edges, so no unsupervised
+            # gap rule can land here; the reference's own answer is a
+            # manual sweep (``CR-VAE.py:437-443``).
+            grid = jnp.linspace(0.0, float(s_off.max()), 128)
+            f1s = [float(gc_metrics(t_off, s_off, float(t))["f1"])
+                   for t in grid]
+            best_i = int(np.argmax(f1s))
+            results["gc_offdiag_best_threshold"] = {
+                "threshold": float(grid[best_i]), "oracle": True,
+                **{k: float(v) for k, v in
+                   gc_metrics(t_off, s_off, float(grid[best_i])).items()}}
         gen = model.generate(params, windows[:8], k_gen, 20)
         results["generated_shape"] = list(gen.shape)
         if out:
             np.save(out / f"GC_scores_{name}.npy", np.asarray(scores))
             np.save(out / f"syn_{name}.npy", np.asarray(gen))
+            # The reference's W_in figure ritual (``CRVAE.py:407-435``):
+            # per-head weight heatmaps + row-norm bars.
+            from vae_connexe_tpu.evals.viz import (gc_heatmaps, w_in_heatmaps,
+                                                   w_in_row_norms)
+
+            w_in = np.asarray(params.w_in)
+            w_in_heatmaps(w_in, str(out / f"w_in_{name}.png"))
+            w_in_row_norms(w_in, str(out / f"w_in_norms_{name}.png"),
+                           threshold=exp.win.prune_threshold)
+            if truth is not None:
+                gc_heatmaps(np.asarray(truth),
+                            np.asarray(scores) > results["gc_auto"]["threshold"],
+                            str(out / f"gc_heatmap_{name}.png"))
         if save_checkpoints and out:
             from vae_connexe_tpu.utils import save_checkpoint
             gc_bin = model.granger_matrix(params, thr=exp.win.prune_threshold)

@@ -91,7 +91,8 @@ def threshold_sweep(gc_true: jax.Array, scores: jax.Array,
 
 
 def auto_threshold(scores: jax.Array, exclude_diagonal: bool = False,
-                   floor: float = 1e-8) -> jax.Array:
+                   floor: float | None = None,
+                   rel_floor: float = 1e-6) -> jax.Array:
     """Pick a binarization threshold from the scores alone: the geometric
     midpoint of the largest *log-space* gap between consecutive sorted
     scores.
@@ -100,9 +101,19 @@ def auto_threshold(scores: jax.Array, exclude_diagonal: bool = False,
     edges keep O(1) norms — the separation between the modes is
     multiplicative (orders of magnitude), whereas gaps *within* the edge
     mode (e.g. strong self-edges vs weaker cross-edges) are additive, so a
-    linear-gap rule mis-splits inside the edges.  Zeroed scores clamp to
-    ``floor`` before the log.  The reference leaves thresholding to manual
-    sweeps (``CR-VAE.py:437-443``); this is the unsupervised default.
+    linear-gap rule mis-splits inside the edges.
+
+    Sub-floor scores clamp to the floor before the log.  The floor is
+    **relative to the score scale** (``max(scores) · rel_floor``) unless
+    ``floor`` overrides it: with an absolute floor, any exactly-zero entry
+    makes the zero→smallest-survivor gap ~log(tiny/1e-8) ≈ 10+, which
+    out-gaps the real noise→edge separation whenever prox shrinkage leaves
+    small nonzero survivors (observed on the W_in family: the auto
+    threshold collapsed to ~0 and selected every surviving entry).  A
+    relative floor keeps the zero-boundary gap O(log 1/rel_floor) so a
+    larger survivors-internal gap — the noise/edge split — can win.  The
+    reference leaves thresholding to manual sweeps (``CR-VAE.py:437-443``);
+    this is the unsupervised default.
     """
     s = scores.reshape(-1)
     if exclude_diagonal:
@@ -110,7 +121,11 @@ def auto_threshold(scores: jax.Array, exclude_diagonal: bool = False,
         mask = ~jnp.eye(p, dtype=bool).reshape(-1)
         # Push diagonal entries onto the minimum so they never widen a gap.
         s = jnp.where(mask, s, s.min())
-    log_s = jnp.sort(jnp.log(jnp.clip(s, min=floor)))
+    if floor is None:
+        floor_val = jnp.maximum(s.max() * rel_floor, 1e-30)
+    else:
+        floor_val = jnp.asarray(floor)
+    log_s = jnp.sort(jnp.log(jnp.clip(s, min=floor_val)))
     gaps = log_s[1:] - log_s[:-1]
     i = jnp.argmax(gaps)
     return jnp.exp((log_s[i] + log_s[i + 1]) / 2.0)
@@ -141,16 +156,21 @@ def stability_selection(score_stack: jax.Array, min_frac: float = 0.5,
 
 def gc_metrics(gc_true: jax.Array, scores: jax.Array, threshold: float = 0.0):
     """One-call summary dict: accuracy/P/R/F1 at ``threshold`` plus AUROC
-    (full and off-diagonal) and variable usage."""
+    (full and, for square inputs, off-diagonal) and variable usage.
+
+    Also accepts already-flattened 1-D entry vectors (e.g. the off-diagonal
+    entries only), in which case ``auroc_offdiag`` is omitted."""
     est = (scores > threshold).astype(jnp.int32)
     precision, recall, f1 = precision_recall_f1(gc_true, est)
-    return {
+    out = {
         "accuracy": gc_accuracy(gc_true, est),
         "precision": precision,
         "recall": recall,
         "f1": f1,
         "auroc": auroc(gc_true, scores),
-        "auroc_offdiag": auroc(gc_true, scores, exclude_diagonal=True),
         "variable_usage": variable_usage(est),
         "true_usage": variable_usage(gc_true),
     }
+    if scores.ndim == 2 and scores.shape[0] == scores.shape[1]:
+        out["auroc_offdiag"] = auroc(gc_true, scores, exclude_diagonal=True)
+    return out

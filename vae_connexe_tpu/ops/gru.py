@@ -58,6 +58,37 @@ def _use_incell_proj(n_heads: int, batch: int, t_len: int, three_h: int) -> bool
     return n_heads * batch * t_len * three_h >= _INCELL_MIN_XP_ELEMS
 
 
+# bf16 storage of the recurrence's saved residuals (VAE_CONNEXE_BF16_RESID=1).
+# The flagship train step is HBM-bound with the f32 saved activations (the
+# per-cell checkpoint's h carries and the hoisted xp slices) as the dominant
+# traffic term (RESULTS.md roofline + anatomy); casting the *cell boundary*
+# values to bf16 halves exactly that term while all gate math, parameters,
+# and updates stay f32 — jax.checkpoint saves the cell's inputs, so a bf16
+# boundary IS a bf16 saved set.  Forward numerics change only by per-step
+# bf16 rounding of h (and xp); measured A/B on the real chip decides the
+# default (see RESULTS.md "Optimizations evaluated", round 3).
+_BF16_RESID = os.environ.get("VAE_CONNEXE_BF16_RESID", "0") == "1"
+
+
+def set_bf16_resid(value: bool) -> None:
+    """Toggle bf16 saved-residual storage (A/B hook; also env-settable)."""
+    global _BF16_RESID
+    _BF16_RESID = value
+
+
+# Per-cell jax.checkpoint on the unrolled recurrences (default on — measured
+# +23% at xl, neutral at p=20; RESULTS.md round 2).  VAE_CONNEXE_CELL_CKPT=0
+# disables it for A/B — the round-2 sweep decomposition blamed the vmapped
+# sweep's 2.8× per-seed overhead partly on per-cell remat under vmap, and
+# the traffic calculus changes once a seed axis multiplies every saved
+# tensor.
+_CELL_CKPT = os.environ.get("VAE_CONNEXE_CELL_CKPT", "1") == "1"
+
+
+def _maybe_checkpoint(fn):
+    return jax.checkpoint(fn) if _CELL_CKPT else fn
+
+
 @struct.dataclass
 class GRUParams:
     """Single-layer GRU parameters, torch layout.
@@ -187,8 +218,11 @@ def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
         # wins once that tensor is large (see _use_incell_proj; measured per
         # workload in RESULTS.md "Optimizations evaluated").  Forward
         # numerics are unchanged (same contraction, computed per step).
-        @jax.checkpoint
+        bf16 = _BF16_RESID
+
+        @_maybe_checkpoint
         def cell(h, x_t, params):
+            h = h.astype(jnp.float32)
             if x_t.ndim == 2:
                 xp_t = (jnp.einsum("bd,pgd->pbg", x_t, params.w_ih)
                         + params.b_ih[:, None, :])
@@ -196,15 +230,20 @@ def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
                 xp_t = (jnp.einsum("pbd,pgd->pbg", x_t, params.w_ih)
                         + params.b_ih[:, None, :])
             hp = jnp.einsum("pbh,pgh->pbg", h, params.w_hh) + params.b_hh[:, None, :]
-            return _gates(xp_t, hp, h, hidden)
+            h_new = _gates(xp_t, hp, h, hidden)
+            return h_new.astype(jnp.bfloat16) if bf16 else h_new
 
         b = x.shape[-3]
         h = jnp.broadcast_to(h0, (n_heads, b, hidden))
+        if bf16:
+            h = h.astype(jnp.bfloat16)
         outs = []
         for t in range(t_len):
             h = cell(h, x[..., t, :], params)
             outs.append(h)
-        return jnp.stack(outs, axis=2), h
+        # outs stay in the storage dtype — the readout matmul consumes bf16
+        # directly (mixed-precision dot, f32 result); h_T returns f32.
+        return jnp.stack(outs, axis=2), h.astype(jnp.float32)
 
     if x.ndim == 3:
         # One einsum for all heads' input projections: (B,T,D)x(P,3H,D).
@@ -217,17 +256,26 @@ def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
         # Hoisted-xp unrolled variant (small pre-projection / reference
         # shapes): one large MXU matmul for all steps' input projections,
         # per-cell checkpoint rematerializing gate math from (h, xp_t).
-        @jax.checkpoint
+        bf16 = _BF16_RESID
+        if bf16:
+            # The hoisted pre-projection and the h carries are the two
+            # dominant saved-activation streams — store both in bf16.
+            xp = xp.astype(jnp.bfloat16)
+            h0 = h0.astype(jnp.bfloat16)
+
+        @_maybe_checkpoint
         def cell(h, xp_t, w_hh, b_hh):
+            h = h.astype(jnp.float32)
             hp = jnp.einsum("pbh,pgh->pbg", h, w_hh) + b_hh[:, None, :]
-            return _gates(xp_t, hp, h, hidden)
+            h_new = _gates(xp_t.astype(jnp.float32), hp, h, hidden)
+            return h_new.astype(jnp.bfloat16) if bf16 else h_new
 
         h = h0
         outs = []
         for t in range(t_len):
             h = cell(h, xp[:, :, t], params.w_hh, params.b_hh)
             outs.append(h)
-        return jnp.stack(outs, axis=2), h
+        return jnp.stack(outs, axis=2), h.astype(jnp.float32)
 
     def step(h, xp_t):
         # h: (P, B, H); xp_t: (P, B, 3H); batched matmul over the head axis.

@@ -39,6 +39,51 @@ def crvae_param_spec() -> CRVAEParams:
     )
 
 
+def _named(mesh: Mesh, spec_tree):
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec), spec_tree,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def phase1_state_sharding(mesh: Mesh, with_prior: bool):
+    """Sharding pytree for ``Phase1State``: params/best_params heads on ep,
+    everything else (prior, loss scalar, key, step) replicated.  Usable as a
+    jit in/out_shardings prefix and as a ``device_put`` target."""
+    from vae_connexe_tpu.train.crvae_trainer import Phase1State
+
+    param_shard = _named(mesh, crvae_param_spec())
+    rep = NamedSharding(mesh, P())
+    return Phase1State(params=param_shard, prior=(rep if with_prior else None),
+                       best_params=param_shard, best_loss=rep, key=rep,
+                       step=rep)
+
+
+def phase2_state_sharding(mesh: Mesh, with_prior: bool):
+    """Sharding pytree for ``Phase2State``: CRVAE params on (ep), the error
+    VAE, its Adam state, and the prior replicated."""
+    from vae_connexe_tpu.train.crvae_trainer import Phase2State
+
+    param_shard = _named(mesh, crvae_param_spec())
+    rep = NamedSharding(mesh, P())
+    return Phase2State(params=param_shard, err_params=rep, err_opt=rep,
+                       prior=(rep if with_prior else None),
+                       best_params=param_shard, best_loss=rep, key=rep,
+                       step=rep)
+
+
+def check_mesh_divisibility(mesh: Mesh, p: int, batch_size: int) -> None:
+    """Fail fast with actionable messages instead of GSPMD's uneven-sharding
+    errors: the stacked head axis must divide by ep, the batch by dp."""
+    n_ep, n_dp = mesh.shape.get("ep", 1), mesh.shape.get("dp", 1)
+    if p % n_ep:
+        raise ValueError(
+            f"p={p} decoder heads not divisible by the ep mesh size {n_ep} — "
+            f"choose n_ep dividing p")
+    if batch_size % n_dp:
+        raise ValueError(
+            f"batch_size={batch_size} not divisible by the dp mesh size "
+            f"{n_dp} — choose a batch divisible by dp")
+
+
 def make_sharded_phase1_step(model: CRVAE, cfg: Phase1Config, mesh: Mesh,
                              parents: jax.Array):
     """Explicit-batch phase-1 step jitted over ``mesh``.

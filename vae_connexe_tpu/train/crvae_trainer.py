@@ -178,7 +178,7 @@ def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
 
 def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
                parents: jax.Array, cfg: Phase1Config, key: jax.Array,
-               verbose: bool = False, log_fn=print, callback=None):
+               verbose: bool = False, log_fn=print, callback=None, mesh=None):
     """Run phase 1; returns (best-restored params, final state, last metrics).
 
     The whole ``max_iter`` loop runs as jitted scan chunks of ``check_every``
@@ -186,6 +186,13 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
     state, metrics)``, if given, fires once per chunk — the hook for the
     reference's periodic eval/rollout/plot ritual
     (``author_CRVAE.py:521-558``) without touching the hot loop.
+
+    ``mesh`` (a (dp, ep) ``jax.sharding.Mesh``) runs the SAME loop
+    mesh-sharded end to end: batch windows over dp (gradient psum over ICI),
+    stacked decoder heads over ep, training state resident on the mesh across
+    chunks.  Identical results to the single-device fit (same keys, same
+    gathers) up to reduction-order rounding; the reference has no distributed
+    path to mirror (``/root/reference/author_CRVAE.py:18``).
     """
     prior = None
     if cfg.latent_reg == "cs":
@@ -198,14 +205,43 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
         idx = jax.random.randint(k_fix, (cfg.batch_size,), 0, windows.shape[0])
         fixed_batch = jnp.take(windows, idx, axis=0)
 
-    step = make_phase1_step(model, cfg, windows, parents, fixed_batch)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vae_connexe_tpu.parallel.sharded import (
+            check_mesh_divisibility, phase1_state_sharding)
+
+        check_mesh_divisibility(mesh, model.p, cfg.batch_size)
+        rep = NamedSharding(mesh, P())
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        # Commit the closed-over constants to the mesh (replicated windows /
+        # parents; the batch gather re-shards its output to dp) so jit never
+        # sees inputs committed to a single device.
+        windows = jax.device_put(windows, rep)
+        parents = jax.device_put(parents, rep)
+        if fixed_batch is not None:
+            fixed_batch = jax.device_put(fixed_batch, batch_sharding)
+
+    step = make_phase1_step(model, cfg, windows, parents, fixed_batch,
+                            batch_sharding=batch_sharding)
     state = Phase1State(params=params, prior=prior, best_params=params,
                         best_loss=jnp.array(jnp.inf), key=key,
                         step=jnp.zeros([], jnp.int32))
 
-    @functools.partial(jax.jit, static_argnames=("length",))
-    def run_chunk(state, length):
-        return jax.lax.scan(step, state, None, length=length)
+    if mesh is None:
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def run_chunk(state, length):
+            return jax.lax.scan(step, state, None, length=length)
+    else:
+        state_shard = phase1_state_sharding(mesh, prior is not None)
+        state = jax.device_put(state, state_shard)
+
+        @functools.partial(jax.jit, static_argnames=("length",),
+                           in_shardings=(state_shard,),
+                           out_shardings=(state_shard, rep))
+        def run_chunk(state, length):
+            return jax.lax.scan(step, state, None, length=length)
 
     metrics = {}
     for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
@@ -226,18 +262,23 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
 
 def make_phase2_step(model: CRVAE, err_model: ErrorVAE, cfg: Phase2Config,
                      windows: jax.Array, parents: jax.Array,
-                     err_opt: optax.GradientTransformation):
+                     err_opt: optax.GradientTransformation,
+                     batch_sharding=None):
     """Build the jittable phase-2 step.
 
     One step = (a) SGD + mask projection on the pruned CRVAE with β = 1 KL,
     (b) Adam on the error VAE against the stop-gradient residuals — the
     reference's gradient firewall (``author_CRVAE.py:602``).
+
+    ``batch_sharding`` as in ``make_phase1_step`` (meshed fits).
     """
 
     def step(state: Phase2State, _):
         key, k_batch, k_z, k_e = jax.random.split(state.key, 4)
         idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, windows.shape[0])
         batch = jnp.take(windows, idx, axis=0)
+        if batch_sharding is not None:
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
         target = batch[:, model.enc_len:, :]
 
         def loss_fn(params, prior, err_params):
@@ -281,28 +322,56 @@ def make_phase2_step(model: CRVAE, err_model: ErrorVAE, cfg: Phase2Config,
 def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
                err_params: ErrorVAEParams, windows: jax.Array,
                parents: jax.Array, cfg: Phase2Config, key: jax.Array,
-               verbose: bool = False, log_fn=print, callback=None):
+               verbose: bool = False, log_fn=print, callback=None, mesh=None):
     """Run phase 2; returns (best params, err params, final state, metrics).
 
     ``callback(step, state, metrics)`` fires once per chunk — use it to
     periodically sample compensated rollouts / write PCA-t-SNE figures, as
     the reference does every 1000 iterations (``author_CRVAE.py:688-696``).
+
+    ``mesh`` runs the loop mesh-sharded as in ``fit_phase1`` (the error VAE
+    and its Adam state stay replicated — it is tiny; its gradients reduce
+    over dp via the psum pjit inserts).
     """
     prior = None
     if cfg.latent_reg == "cs":
         key, k_prior = jax.random.split(key)
         prior = init_gmm_prior(k_prior, cfg.gmm_components, model.hidden)
 
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vae_connexe_tpu.parallel.sharded import (
+            check_mesh_divisibility, phase2_state_sharding)
+
+        check_mesh_divisibility(mesh, model.p, cfg.batch_size)
+        rep = NamedSharding(mesh, P())
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        windows = jax.device_put(windows, rep)
+        parents = jax.device_put(parents, rep)
+
     err_opt = optax.adam(cfg.lr_error)
-    step = make_phase2_step(model, err_model, cfg, windows, parents, err_opt)
+    step = make_phase2_step(model, err_model, cfg, windows, parents, err_opt,
+                            batch_sharding=batch_sharding)
     state = Phase2State(params=params, err_params=err_params,
                         err_opt=err_opt.init(err_params), prior=prior,
                         best_params=params, best_loss=jnp.array(jnp.inf),
                         key=key, step=jnp.zeros([], jnp.int32))
 
-    @functools.partial(jax.jit, static_argnames=("length",))
-    def run_chunk(state, length):
-        return jax.lax.scan(step, state, None, length=length)
+    if mesh is None:
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def run_chunk(state, length):
+            return jax.lax.scan(step, state, None, length=length)
+    else:
+        state_shard = phase2_state_sharding(mesh, prior is not None)
+        state = jax.device_put(state, state_shard)
+
+        @functools.partial(jax.jit, static_argnames=("length",),
+                           in_shardings=(state_shard,),
+                           out_shardings=(state_shard, rep))
+        def run_chunk(state, length):
+            return jax.lax.scan(step, state, None, length=length)
 
     metrics = {}
     for length in _chunk_lengths(cfg.max_iter, cfg.check_every):

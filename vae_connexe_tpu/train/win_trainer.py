@@ -126,13 +126,18 @@ class WInTrainer:
 
     def fit(self, params: WInCRVAEParams, windows: jax.Array, key: jax.Array,
             stage1_epochs: int | None = None, stage2_epochs: int | None = None,
-            epochs_per_dispatch: int = 25, verbose: bool = False, log_fn=print):
+            epochs_per_dispatch: int = 25, verbose: bool = False, log_fn=print,
+            return_stage1: bool = False):
         """Epoch loop over shuffled minibatches of windows (B, 2τ, D).
 
         Epochs run in jitted *blocks* of ``epochs_per_dispatch``: an outer
         scan over epoch keys, an inner scan over that epoch's shuffled
         batches — so a 2000-epoch stage costs 2000 / 25 host dispatches, not
-        2000.  Returns (params after stage II, last metrics).
+        2000.  Returns (params after stage II, last metrics), or with
+        ``return_stage1=True`` (params, metrics, stage1_params) where
+        ``stage1_params`` is the pre-prune stage-I model — the reference
+        compares its prediction MSE against the pruned stage-II model
+        (``/root/reference/CRVAE.py:333-350``).
         """
         cfg = self.cfg
         e1 = cfg.stage1_epochs if stage1_epochs is None else stage1_epochs
@@ -172,6 +177,9 @@ class WInTrainer:
             return state, key, m
 
         state, key, metrics = run_stage(run1, state, key, e1, "stage1")
+        stage1_params = state.params
         state = state.replace(params=self.prune(state.params))
         state, key, m2 = run_stage(run2, state, key, e2, "stage2")
+        if return_stage1:
+            return state.params, m2 or metrics, stage1_params
         return state.params, m2 or metrics
