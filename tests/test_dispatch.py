@@ -99,6 +99,26 @@ class TestIncellProjection:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
+    def test_batched_dispatch_multiplier(self):
+        """batched_dispatch(S) scales the in-cell heuristic by the outer
+        vmap axis and restores the old multiplier on exit (even on error)."""
+        from vae_connexe_tpu.ops import gru as g
+        # North-star shape: hoisted alone, but in-cell once an 8-seed vmap
+        # multiplies the hoisted pre-projection (the sweep regime).
+        assert not g._use_incell_proj(20, 256, 20, 192)
+        with g.batched_dispatch(8):
+            assert g._use_incell_proj(20, 256, 20, 192)
+            with g.batched_dispatch(1):     # nested: inner wins, then restores
+                assert not g._use_incell_proj(20, 256, 20, 192)
+            assert g._use_incell_proj(20, 256, 20, 192)
+        assert not g._use_incell_proj(20, 256, 20, 192)
+        try:
+            with g.batched_dispatch(8):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert g._DISPATCH_MULTIPLIER == 1
+
     def test_incell_per_head_input(self, monkeypatch):
         from vae_connexe_tpu.ops import gru as g
         params, _, h0 = self._setup()

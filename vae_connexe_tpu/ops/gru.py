@@ -49,13 +49,41 @@ from flax import struct
 _INCELL_MIN_XP_ELEMS = 2 ** 25
 _INCELL_PROJ = os.environ.get("VAE_CONNEXE_INCELL_PROJ", "auto")
 
+# Outer-vmap multiplier for the dispatch heuristic: vmap hides its axis from
+# trace-time shapes, so a seed-vmapped caller materializes S× the hoisted
+# pre-projection the heuristic sees.  The multi-seed sweep sets this to S
+# via ``batched_dispatch`` — measured on the sweep workload: hoisted 1121
+# vs in-cell 1287 seed-steps/s (RESULTS.md round 3), exactly the regimes
+# the single-model threshold predicts once the hidden factor is counted.
+_DISPATCH_MULTIPLIER = 1
+
+
+class batched_dispatch:
+    """Context manager: tell the recurrence dispatch that the caller vmaps
+    it over an outer axis of ``multiplier`` (active at trace time)."""
+
+    def __init__(self, multiplier: int):
+        self.multiplier = max(1, int(multiplier))
+
+    def __enter__(self):
+        global _DISPATCH_MULTIPLIER
+        self._old = _DISPATCH_MULTIPLIER
+        _DISPATCH_MULTIPLIER = self.multiplier
+        return self
+
+    def __exit__(self, *exc):
+        global _DISPATCH_MULTIPLIER
+        _DISPATCH_MULTIPLIER = self._old
+        return False
+
 
 def _use_incell_proj(n_heads: int, batch: int, t_len: int, three_h: int) -> bool:
     if _INCELL_PROJ == "1":
         return True
     if _INCELL_PROJ == "0":
         return False
-    return n_heads * batch * t_len * three_h >= _INCELL_MIN_XP_ELEMS
+    return (_DISPATCH_MULTIPLIER * n_heads * batch * t_len * three_h
+            >= _INCELL_MIN_XP_ELEMS)
 
 
 # bf16 storage of the recurrence's saved residuals (VAE_CONNEXE_BF16_RESID=1).

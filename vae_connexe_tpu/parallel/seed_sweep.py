@@ -62,7 +62,16 @@ def make_sweep_fn(model: CRVAE, windows: jax.Array, parents: jax.Array,
             if pad:
                 seeds = jnp.concatenate(
                     [seeds, jnp.broadcast_to(seeds[-1], (pad,))])
-        out = fn(seeds)
+        # The seed vmap multiplies the decoder's hoisted pre-projection by
+        # S, which trace-time shapes hide from the recurrence dispatch;
+        # declare it so the in-cell-projection heuristic fires in the same
+        # regimes as an S×-larger single model (measured +15% on the sweep
+        # workload — RESULTS.md round 3).  Active only during the first
+        # call's trace; later calls hit the compiled executable.
+        from vae_connexe_tpu.ops.gru import batched_dispatch
+
+        with batched_dispatch(int(seeds.shape[0])):
+            out = fn(seeds)
         return jax.tree.map(lambda x: x[:n_seeds], out)
 
     return run
