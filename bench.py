@@ -196,6 +196,15 @@ def main():
                          "sweep = vmapped multi-seed phase-1 (seed-steps/s)")
     ap.add_argument("--seeds", type=int, default=8,
                     help="seed count for --workload sweep")
+    ap.add_argument("--serve-batch", type=int, default=3072,
+                    help="serving batch for --workload generate. Measured "
+                         "optimum on v5e (round 3 A/B, RESULTS.md): 512: "
+                         "523k, 1024: 855k, 2048: 1155k, 3072: 1246k, "
+                         "3584: 1147k, 4096: 803k, 8192: 512k samples/s — "
+                         "the peak sits where the rollout's hidden-state "
+                         "working set (B*(p+1)*H f32 ~ 16.5 MB at 3072) "
+                         "still fits VMEM; past it the states spill to HBM "
+                         "and throughput cliffs")
     args = ap.parse_args()
     if args.quick:
         args.steps = 300
@@ -428,7 +437,7 @@ def bench_generate(args):
     params = model.init(jax.random.key(0))
     err_params = err.init(jax.random.key(1))
     parents = jnp.ones((args.p, args.p), jnp.float32)
-    batch = 1024
+    batch = args.serve_batch
     n_gens = 50
 
     # Params as jit arguments, not closure constants — baked-in constants
