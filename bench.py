@@ -125,6 +125,23 @@ def phase2_flops_bytes(p: int, hidden: int, batch: int, ctx: int,
     return f1 + f2, b1 + b2
 
 
+def pick_serve_batch(p: int, hidden: int, vmem_bytes: float = 16 * 2**20,
+                     lane: int = 128, lo: int = 128, hi: int = 8192) -> int:
+    """VMEM-locality serving batch: the largest lane-aligned batch whose
+    per-step hidden-state working set — B·(p+1)·H f32, the p decoder-head
+    carries plus the error-VAE carry — fits the v5e core's ~16 MB VMEM.
+
+    Anchored by the round-3 measured curve at p=20, H=64 (RESULTS.md):
+    the formula lands on 3072, exactly the measured throughput peak
+    (1.25M samples/s); past it the states spill to HBM and throughput
+    halves (4096: 803k, 8192: 512k).  Heuristic at other shapes — the
+    anchor is the only measured curve — but the failure mode it guards
+    against (state spill) is shape-generic.
+    """
+    b = int(vmem_bytes // ((p + 1) * hidden * 4))
+    return max(lo, min(hi, (b // lane) * lane))
+
+
 def generate_flops_bytes_per_sample(p: int, hidden: int, batch: int,
                                     rollout_len: int = 21) -> tuple[float, float]:
     """Serving: one compensated rollout sample = rollout_len error-VAE
@@ -196,15 +213,15 @@ def main():
                          "sweep = vmapped multi-seed phase-1 (seed-steps/s)")
     ap.add_argument("--seeds", type=int, default=8,
                     help="seed count for --workload sweep")
-    ap.add_argument("--serve-batch", type=int, default=3072,
-                    help="serving batch for --workload generate. Measured "
-                         "optimum on v5e (round 3 A/B, RESULTS.md): 512: "
-                         "523k, 1024: 855k, 2048: 1155k, 3072: 1246k, "
-                         "3584: 1147k, 4096: 803k, 8192: 512k samples/s — "
-                         "the peak sits where the rollout's hidden-state "
-                         "working set (B*(p+1)*H f32 ~ 16.5 MB at 3072) "
-                         "still fits VMEM; past it the states spill to HBM "
-                         "and throughput cliffs")
+    ap.add_argument("--serve-batch", type=int, default=None,
+                    help="serving batch for --workload generate; default "
+                         "auto = pick_serve_batch's VMEM-locality formula. "
+                         "Measured curve on v5e at p=20 (round 3 A/B, "
+                         "RESULTS.md): 512: 523k, 1024: 855k, 2048: 1155k, "
+                         "3072: 1246k, 3584: 1147k, 4096: 803k, 8192: 512k "
+                         "samples/s — the peak sits where the rollout's "
+                         "hidden-state working set still fits VMEM; past "
+                         "it the states spill to HBM and throughput cliffs")
     args = ap.parse_args()
     if args.quick:
         args.steps = 300
@@ -437,7 +454,8 @@ def bench_generate(args):
     params = model.init(jax.random.key(0))
     err_params = err.init(jax.random.key(1))
     parents = jnp.ones((args.p, args.p), jnp.float32)
-    batch = args.serve_batch
+    batch = (args.serve_batch if args.serve_batch
+             else pick_serve_batch(args.p, args.hidden))
     n_gens = 50
 
     # Params as jit arguments, not closure constants — baked-in constants

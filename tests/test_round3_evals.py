@@ -90,3 +90,22 @@ def test_crvae_branch_emits_gc_heatmaps(tmp_path):
     assert "gc_heatmap_auto_lorenz96_crvae.png" in names
     m = json.loads((tmp_path / "metrics_lorenz96_crvae.json").read_text())
     assert "gc_auto" in m
+
+
+def test_pick_serve_batch_formula():
+    """VMEM-locality serving batch: lane-aligned, clamped, and anchored at
+    the measured p=20/H=64 optimum (RESULTS.md round-3 batch sweep)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import pick_serve_batch
+
+    # The measured anchor: formula == the observed throughput peak.
+    assert pick_serve_batch(20, 64) == 3072
+    # Lane alignment and clamping at awkward shapes.
+    assert pick_serve_batch(128, 128) == 128      # tiny fit -> lo clamp
+    assert pick_serve_batch(10, 64) % 128 == 0
+    assert pick_serve_batch(1, 8) == 8192         # huge fit -> hi clamp
+    # Monotone: bigger state per sample -> smaller batch.
+    assert pick_serve_batch(40, 64) <= pick_serve_batch(20, 64)
