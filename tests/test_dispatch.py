@@ -192,3 +192,54 @@ class TestBF16Residuals:
             assert not g._BF16_RESID
         finally:
             g.set_bf16_resid(old)
+
+
+class TestSegmentRemat:
+    """Segment-remat recurrence (k-step checkpoints with in-segment input
+    projection) == the hoisted path, fwd + grad, shared and per-head inputs,
+    divisible and ragged segment lengths."""
+
+    def _setup(self, per_head: bool):
+        params = init_stacked_gru(jax.random.key(5), 6, 5, 16)
+        shape = (6, 8, 20, 5) if per_head else (8, 20, 5)
+        x = jax.random.normal(jax.random.key(6), shape)
+        h0 = jnp.zeros((6, 8, 16))
+        return params, x, h0
+
+    @pytest.mark.parametrize("per_head", [False, True])
+    @pytest.mark.parametrize("seg", [4, 7, 20])
+    def test_matches_hoisted_fwd_and_grad(self, per_head, seg):
+        from vae_connexe_tpu.ops import gru as g
+        params, x, h0 = self._setup(per_head)
+
+        def loss(p):
+            o, hT = gru_scan_heads(p, x, h0)
+            return (o ** 2).sum() + (hT * 1.7).sum()
+
+        ref_o, ref_h = gru_scan_heads(params, x, h0)
+        ref_g = jax.grad(loss)(params)
+        old = g._SEG_REMAT_T
+        try:
+            g.set_seg_remat(seg)
+            o, hT = gru_scan_heads(params, x, h0)
+            grads = jax.grad(loss)(params)
+        finally:
+            g.set_seg_remat(old)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(hT), np.asarray(ref_h),
+                                   rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_set_seg_remat_toggle(self):
+        from vae_connexe_tpu.ops import gru as g
+        old = g._SEG_REMAT_T
+        try:
+            g.set_seg_remat(5)
+            assert g._SEG_REMAT_T == 5
+            g.set_seg_remat(0)
+            assert g._SEG_REMAT_T == 0
+        finally:
+            g.set_seg_remat(old)

@@ -117,6 +117,34 @@ def _maybe_checkpoint(fn):
     return jax.checkpoint(fn) if _CELL_CKPT else fn
 
 
+# Segment rematerialization (VAE_CONNEXE_SEG_REMAT=k, 0 = off): unrolled
+# recurrences run as ceil(T/k) jax.checkpoint'ed k-step segments that project
+# their OWN input block (one (B, k·D)-wide MXU matmul per segment) instead of
+# consuming a hoisted (P, B, T, 3H) pre-projection from HBM.  This is the
+# middle ground between the two measured designs: the hoisted path pays the
+# full xp HBM round trip (the dominant saved-activation stream at reference
+# shapes — RESULTS.md roofline), while the in-cell path (k=1) kills that
+# traffic but issues T tiny per-step projections and lost 10% at the north
+# star.  A k-step segment keeps xp out of HBM at 1/k of the dispatch cost.
+#
+# MEASURED NEGATIVE at the north star (p=20, ctx=20, 2000-step TPU runs):
+# baseline (hoisted) 3,121 steps/s vs seg-remat k=5: 2,849, k=10: 2,503,
+# k=20: 2,530.  The segment backward re-runs the full sequential gate chain
+# to rebuild its in-segment activations, and that recompute costs more than
+# the xp round trip saves at these shapes.  xl (p=128) routes to the fused
+# Pallas kernels before this branch and is unaffected (290.4 vs 290.7).
+# Kept as an off-by-default documented design point; parity (fwd + grad,
+# shared/per-head inputs, ragged segments) is pinned in
+# tests/test_dispatch.py::TestSegmentRemat.
+_SEG_REMAT_T = int(os.environ.get("VAE_CONNEXE_SEG_REMAT", "0"))
+
+
+def set_seg_remat(t: int) -> None:
+    """Set the segment-remat length (A/B hook; also env-settable). 0 = off."""
+    global _SEG_REMAT_T
+    _SEG_REMAT_T = int(t)
+
+
 @struct.dataclass
 class GRUParams:
     """Single-layer GRU parameters, torch layout.
@@ -233,6 +261,42 @@ def gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array):
     hidden = params.hidden
     t_len = x.shape[-2]
     n_heads = params.w_ih.shape[0]
+
+    if t_len <= UNROLL_MAX_T and _SEG_REMAT_T > 1:
+        # Segment-remat variant (see _SEG_REMAT_T above): each k-step segment
+        # is one checkpoint whose backward recomputes the segment's xp block
+        # and gate math from (h_in, x block, params) — the (P, B, k, 3H)
+        # pre-projection lives only inside the segment, never in HBM.  The
+        # segment's stacked h outputs are primal outputs (the readout
+        # consumes them), not residuals, so the saved set per segment is the
+        # (P, B, H) carry plus the raw (B, k, D) input slice.
+        seg = min(_SEG_REMAT_T, t_len)
+
+        @jax.checkpoint
+        def segment(h, x_seg, params):
+            if x_seg.ndim == 3:
+                xp_seg = (jnp.einsum("bkd,pgd->pbkg", x_seg, params.w_ih)
+                          + params.b_ih[:, None, None, :])
+            else:
+                xp_seg = (jnp.einsum("pbkd,pgd->pbkg", x_seg, params.w_ih)
+                          + params.b_ih[:, None, None, :])
+            hs = []
+            for j in range(x_seg.shape[-2]):
+                hp = (jnp.einsum("pbh,pgh->pbg", h, params.w_hh)
+                      + params.b_hh[:, None, :])
+                h = _gates(xp_seg[:, :, j], hp, h, hidden)
+                hs.append(h)
+            return jnp.stack(hs, axis=2), h
+
+        b = x.shape[-3]
+        h = jnp.broadcast_to(h0, (n_heads, b, hidden))
+        out_blocks = []
+        for s in range(0, t_len, seg):
+            outs_seg, h = segment(h, x[..., s:s + seg, :], params)
+            out_blocks.append(outs_seg)
+        outs = (out_blocks[0] if len(out_blocks) == 1
+                else jnp.concatenate(out_blocks, axis=2))
+        return outs, h
 
     if t_len <= UNROLL_MAX_T and _use_incell_proj(
             n_heads, x.shape[-3], t_len, 3 * hidden):
