@@ -139,3 +139,28 @@ def test_stability_selection_filters_unstable_edges():
     assert selected.tolist() == truth.tolist()
     # The spurious edge collected some votes but stays below the majority.
     assert 0.0 < float(votes[0, 2]) < 0.5
+
+
+def test_auto_vote_threshold_gap_rule():
+    """min_frac='auto' lands in the largest vote gap, clamped to
+    [0.5, 0.95]; stability_selection('auto') then keeps only the
+    persistent edges even when a majority rule would over-select."""
+    from vae_connexe_tpu.evals import stability_selection
+    from vae_connexe_tpu.evals.gc_metrics import auto_vote_threshold
+
+    # True edges vote 1.0; seed-specific over-selections scatter at
+    # 0.5-0.625 (above a 0.5 majority) — the var_crvae failure shape.
+    votes = jnp.asarray([[1.0, 1.0, 0.375],
+                         [0.0, 1.0, 0.5],
+                         [0.125, 0.25, 1.0]])
+    thr = auto_vote_threshold(votes, exclude_diagonal=True)
+    assert 0.5 < thr < 1.0
+    # Degenerate spectra clamp to the stable range.
+    assert auto_vote_threshold(jnp.asarray([0.5, 0.5])) == 0.5
+    assert auto_vote_threshold(jnp.asarray([0.0, 1.0])) == 0.5
+    assert abs(auto_vote_threshold(jnp.asarray([0.9, 1.0])) - 0.95) < 1e-6
+
+    stack = jnp.stack([jnp.asarray([[1.0, 1.0], [0.0, 1.0]])] * 6
+                      + [jnp.asarray([[1.0, 0.0], [1.0, 1.0]])] * 2)
+    _, sel = stability_selection(stack, min_frac="auto")
+    assert sel.tolist() == [[1, 1], [0, 1]]

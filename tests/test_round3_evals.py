@@ -68,6 +68,19 @@ def test_win_branch_reports_operating_points(win_results):
     assert 0.0 <= best["f1"] <= 1.0
 
 
+def test_win_branch_reports_stability_selection(win_results):
+    """henon6d_win has stability_seeds=8: the unsupervised multi-seed row
+    must be present, with per-edge vote fractions in [0, 1] and finite
+    binary metrics at the 0.5 vote threshold."""
+    res, _ = win_results
+    st = res["gc_stability"]
+    assert st["seeds"] == 8 and 0.5 <= st["min_frac"] <= 0.95
+    votes = st["votes_offdiag"]
+    assert len(votes) == 6 * 5
+    assert all(0.0 <= v <= 1.0 for v in votes)
+    assert 0.0 <= st["f1"] <= 1.0
+
+
 def test_win_branch_emits_figures(win_results):
     _, out = win_results
     names = {p.name for p in out.iterdir()}

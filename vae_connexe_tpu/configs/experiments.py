@@ -49,6 +49,9 @@ class Experiment:
     phase2: Phase2Config = Phase2Config()
     win: WInTrainConfig = WInTrainConfig()
     csrae: CSRAETrainConfig = CSRAETrainConfig()
+    # >1 enables the unsupervised stability-selection row (win family):
+    # train this many seeds and vote per-seed auto-threshold selections.
+    stability_seeds: int = 0
     notes: str = ""
 
 
@@ -85,7 +88,8 @@ EXPERIMENTS: dict[str, Experiment] = {
         gc_threshold=1e-6,
         win=WInTrainConfig(lr=2e-3, lam=0.03, prox_groups="row",
                            batch_size=256, stage1_epochs=2000,
-                           stage2_epochs=1000)),
+                           stage2_epochs=1000),
+        stability_seeds=8),
     # CR-VAE.py:360-364 (D=5 H=64 Z=16 τ=10), :397 (500 seqs), :422
     # (λ=.02, lr_prox=.01, 100 epochs), element-wise prox (:126-128).
     "var_crvae": Experiment(
@@ -101,7 +105,8 @@ EXPERIMENTS: dict[str, Experiment] = {
         # (lr_prox stays available for parity sweeps).
         win=WInTrainConfig(lr=1e-3, lam=0.02, prox_groups="element",
                            batch_size=16, stage1_epochs=100, stage2_epochs=30,
-                           update_w_in_stage2=True)),
+                           update_w_in_stage2=True),
+        stability_seeds=8),
     # CR-CS-RAE.py:888 (λ=.5), :898-900 (2000 it), :899 (K=10, λ_cs=.1),
     # :531 (batch 2048), :660 (phase-2 batch 1024), :944-946 (10000 it).
     "lorenz96_crcsrae": Experiment(
@@ -512,6 +517,39 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 "threshold": float(grid[best_i]), "oracle": True,
                 **{k: float(v) for k, v in
                    gc_metrics(t_off, s_off, float(grid[best_i])).items()}}
+            # Unsupervised stability-selection row: the single-run score
+            # spectrum defeats any gap rule here (a lone tiny prox survivor
+            # out-gaps the true noise/edge boundary in log space — see
+            # RESULTS.md), but noise survivors are seed-specific while true
+            # edges persist, so per-seed auto-threshold selections voted
+            # across inits recover the support without the truth matrix.
+            # The reference's answer is a manual sweep (``CR-VAE.py:437-443``);
+            # this is the framework-native unsupervised operating point.
+            if exp.stability_seeds > 1:
+                from vae_connexe_tpu.evals import stability_selection
+                from vae_connexe_tpu.evals.gc_metrics import \
+                    auto_vote_threshold
+
+                stack = [np.asarray(scores)]
+                for s in range(1, exp.stability_seeds):
+                    ps = model.init(jax.random.fold_in(k_init, s))
+                    ps, _ = trainer.fit(ps, windows,
+                                        jax.random.fold_in(k_run, 100 + s),
+                                        verbose=False)
+                    stack.append(np.asarray(
+                        model.granger_matrix(ps, threshold=False)))
+                votes, _ = stability_selection(
+                    jnp.asarray(np.stack(stack)), min_frac="auto",
+                    exclude_diagonal=True)
+                min_frac = auto_vote_threshold(votes, exclude_diagonal=True)
+                v_off = jnp.asarray(np.asarray(votes)[offmask])
+                results["gc_stability"] = {
+                    "seeds": exp.stability_seeds, "min_frac": min_frac,
+                    "votes_offdiag": [round(float(v), 3)
+                                      for v in np.asarray(votes)[offmask]],
+                    **{k: float(v) for k, v in
+                       gc_metrics(t_off, v_off, min_frac - 1e-6).items()
+                       if k != "auroc_offdiag"}}
         gen = model.generate(params, windows[:8], k_gen, 20)
         results["generated_shape"] = list(gen.shape)
         if out:

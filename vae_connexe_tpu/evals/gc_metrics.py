@@ -131,7 +131,8 @@ def auto_threshold(scores: jax.Array, exclude_diagonal: bool = False,
     return jnp.exp((log_s[i] + log_s[i + 1]) / 2.0)
 
 
-def stability_selection(score_stack: jax.Array, min_frac: float = 0.5,
+def stability_selection(score_stack: jax.Array,
+                        min_frac: float | str = 0.5,
                         exclude_diagonal: bool = False):
     """Unsupervised multi-seed edge selection (stability selection).
 
@@ -142,6 +143,14 @@ def stability_selection(score_stack: jax.Array, min_frac: float = 0.5,
     single-run threshold: on the 2-D Hénon toy the per-seed selections
     give the false y←y edge 0/8 votes while every true edge gets ≥2/8.
 
+    ``min_frac`` is the vote fraction an edge needs.  ``"auto"`` places it
+    at the midpoint of the largest gap in the sorted distinct vote values
+    (diagonal excluded when ``exclude_diagonal``), clamped to the
+    Meinshausen–Bühlmann stable range [0.5, 0.95] — true edges persist
+    across inits (votes near 1) while per-seed auto-threshold
+    over-selections are init-specific (votes scattered below), so the vote
+    spectrum is bimodal where the raw score spectrum need not be.
+
     Returns ``(votes (p, p) in [0,1], selected = votes >= min_frac)``.
     The reference has no multi-seed machinery at all; this is the
     framework-native ensemble answer to its manual threshold sweeps.
@@ -151,7 +160,27 @@ def stability_selection(score_stack: jax.Array, min_frac: float = 0.5,
         return (s > thr).astype(jnp.float32)
 
     votes = jax.vmap(select_one)(score_stack).mean(axis=0)
+    if min_frac == "auto":
+        min_frac = auto_vote_threshold(votes, exclude_diagonal)
     return votes, (votes >= min_frac).astype(jnp.int32)
+
+
+def auto_vote_threshold(votes: jax.Array,
+                        exclude_diagonal: bool = False) -> float:
+    """The ``min_frac="auto"`` rule: midpoint of the largest gap in the
+    sorted distinct vote values, clamped to [0.5, 0.95]."""
+    import numpy as np
+
+    vals = np.asarray(votes)
+    if exclude_diagonal and vals.ndim == 2:
+        vals = vals[~np.eye(vals.shape[0], dtype=bool)]
+    vals = np.unique(vals)
+    if len(vals) > 1:
+        i = int(np.argmax(np.diff(vals)))
+        thr = float((vals[i] + vals[i + 1]) / 2)
+    else:
+        thr = 0.5
+    return min(max(thr, 0.5), 0.95)
 
 
 def gc_metrics(gc_true: jax.Array, scores: jax.Array, threshold: float = 0.0):

@@ -48,6 +48,7 @@ class WInTrainer:
             {"adam": optax.adam(cfg.lr), "frozen": optax.set_to_zero()}, label)
         self._stage1_step = jax.jit(self._make_step(stage=1))
         self._stage2_step = jax.jit(self._make_step(stage=2))
+        self._run_cache: dict[int, callable] = {}
 
     def init_state(self, params: WInCRVAEParams, key: jax.Array) -> WInTrainState:
         return WInTrainState(params=params, opt_state=self.opt.init(params),
@@ -101,6 +102,34 @@ class WInTrainer:
 
         return step
 
+    def _get_run(self, stage: int):
+        """Cached jitted epoch-block runner: scan over epoch keys, inner scan
+        over that epoch's shuffled batches.  ``windows`` is an ARGUMENT (not a
+        closure constant — the axon relay's remote-compile request is
+        size-limited) and the compiled callable is cached per stage, so
+        repeated ``fit`` calls at the same shapes (e.g. the multi-seed
+        stability-selection loop in ``configs/experiments.py``) re-trace
+        nothing — the round-2 sweep-re-jit lesson applied here."""
+        if stage not in self._run_cache:
+            step_fn = self._make_step(stage=stage)
+            bs = self.cfg.batch_size
+
+            def run(state, keys, windows):
+                n = (windows.shape[0] // bs) * bs
+
+                def one_epoch(state, shuffle_key):
+                    perm = jax.random.permutation(
+                        shuffle_key, windows.shape[0])[:n]
+                    batches = jnp.take(windows, perm, axis=0).reshape(
+                        -1, bs, *windows.shape[1:])
+                    state, m = jax.lax.scan(step_fn, state, batches)
+                    return state, {k: v.mean() for k, v in m.items()}
+
+                return jax.lax.scan(one_epoch, state, keys)
+
+            self._run_cache[stage] = jax.jit(run)
+        return self._run_cache[stage]
+
     def _support_mask(self, w_in: jax.Array) -> jax.Array:
         """Nonzero-structure mask at the prox's granularity: per element for
         L1, per row for row groups (a row with one surviving element must
@@ -142,22 +171,9 @@ class WInTrainer:
         cfg = self.cfg
         e1 = cfg.stage1_epochs if stage1_epochs is None else stage1_epochs
         e2 = cfg.stage2_epochs if stage2_epochs is None else stage2_epochs
-        n = (windows.shape[0] // cfg.batch_size) * cfg.batch_size
 
-        def block_fn(step_fn):
-            def one_epoch(state, shuffle_key):
-                perm = jax.random.permutation(shuffle_key, windows.shape[0])[:n]
-                batches = jnp.take(windows, perm, axis=0).reshape(
-                    -1, cfg.batch_size, *windows.shape[1:])
-                state, m = jax.lax.scan(step_fn, state, batches)
-                return state, {k: v.mean() for k, v in m.items()}
-
-            def run(state, keys):
-                return jax.lax.scan(one_epoch, state, keys)
-            return jax.jit(run)
-
-        run1 = block_fn(self._make_step(stage=1))
-        run2 = block_fn(self._make_step(stage=2))
+        run1 = self._get_run(stage=1)
+        run2 = self._get_run(stage=2)
 
         state = self.init_state(params, key)
         metrics = {}
@@ -168,7 +184,7 @@ class WInTrainer:
             while done < epochs:
                 k = min(epochs_per_dispatch, epochs - done)
                 key, k_s = jax.random.split(key)
-                state, block_m = run(state, jax.random.split(k_s, k))
+                state, block_m = run(state, jax.random.split(k_s, k), windows)
                 done += k
                 m = {name: float(v[-1]) for name, v in block_m.items()}
                 if verbose:
