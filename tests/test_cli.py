@@ -101,3 +101,14 @@ def test_run_emits_full_figure_ritual(tmp_path):
               "traj_lorenz96_crvae.png", "pca_cond_lorenz96_crvae.png",
               "tsne_cond_lorenz96_crvae.png", "syn_cond_lorenz96_crvae.npy"):
         assert (tmp_path / f).exists(), f
+
+
+def test_sweep_min_frac_auto(capsys):
+    """`sweep --min-frac auto` runs the vmapped sweep and reports the
+    auto-placed vote threshold inside the Meinshausen-Buhlmann range."""
+    cli.main(["sweep", "--p", "4", "--t", "200", "--iters", "20",
+              "--seeds", "2", "--batch", "16", "--min-frac", "auto"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["seeds"] == 2
+    assert 0.5 <= out["stability_min_frac"] <= 0.95
+    assert 0.0 <= out["stability_selection"]["f1"] <= 1.0

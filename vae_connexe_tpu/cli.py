@@ -81,13 +81,18 @@ def _cmd_sweep(args):
     aurocs = [float(auroc(truth, out["gc_scores"][i])) for i in range(args.seeds)]
     from vae_connexe_tpu.evals import gc_metrics, stability_selection
 
-    votes, selected = stability_selection(out["gc_scores"])
-    stab = gc_metrics(truth, votes, 0.5 - 1e-9)
+    min_frac = "auto" if args.min_frac == "auto" else float(args.min_frac)
+    votes, selected = stability_selection(out["gc_scores"], min_frac=min_frac)
+    if min_frac == "auto":
+        from vae_connexe_tpu.evals.gc_metrics import auto_vote_threshold
+        min_frac = auto_vote_threshold(votes)
+    stab = gc_metrics(truth, votes, min_frac - 1e-9)
     print(json.dumps({
         "seeds": args.seeds,
         "aurocs": aurocs,
         "auroc_mean": sum(aurocs) / len(aurocs),
         "mean_loss": [float(x) for x in out["mean_loss"]],
+        "stability_min_frac": min_frac,
         "stability_selection": {k: float(v) for k, v in stab.items()},
     }, indent=2))
 
@@ -226,6 +231,10 @@ def main(argv=None):
     p_sw.add_argument("--iters", type=int, default=1000)
     p_sw.add_argument("--seeds", type=int, default=8)
     p_sw.add_argument("--seed", type=int, default=0, help="data seed")
+    p_sw.add_argument("--min-frac", default="0.5", dest="min_frac",
+                      help="stability-selection vote threshold in [0,1], or "
+                           "'auto' (largest vote-spectrum gap, clamped to "
+                           "[0.5, 0.95])")
     p_sw.add_argument("--mesh", action="store_true",
                       help="shard the seed axis over the device mesh")
     p_sw.set_defaults(fn=_cmd_sweep)

@@ -530,12 +530,17 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 from vae_connexe_tpu.evals.gc_metrics import \
                     auto_vote_threshold
 
+                # Stage 2 leaves W_in untouched unless update_w_in_stage2
+                # (it only refines the frozen-support fit), so the extra
+                # seeds skip it — identical scores at half the cost.
+                e2 = (exp.win.stage2_epochs
+                      if exp.win.update_w_in_stage2 else 0)
                 stack = [np.asarray(scores)]
                 for s in range(1, exp.stability_seeds):
                     ps = model.init(jax.random.fold_in(k_init, s))
                     ps, _ = trainer.fit(ps, windows,
                                         jax.random.fold_in(k_run, 100 + s),
-                                        verbose=False)
+                                        stage2_epochs=e2, verbose=False)
                     stack.append(np.asarray(
                         model.granger_matrix(ps, threshold=False)))
                 votes, _ = stability_selection(
