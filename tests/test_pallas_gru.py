@@ -131,3 +131,34 @@ def test_multitile_parity(monkeypatch):
     for a, bb in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_multitile_parity_intra_tile_boundary(monkeypatch):
+    """Backward boundary-block mixed regime: a budget giving tt > 1 AND
+    n_tt > 1, so within each time tile the reverse loop reads h_prev from
+    the in-VMEM outs tile for t > 0 but from the per-tile boundary block
+    (previous tile's last output / h0) at t == 0 — both branches of the
+    kernel's select live.  test_multitile_parity's budget lands on tt=1
+    (boundary-only) and the default shapes on n_tt=1 (in-tile-only)."""
+    monkeypatch.setattr(pallas_gru, "_VMEM_BUDGET", 500 * 1024)
+    p, b, t, d, h = 4, 16, 12, 5, 8
+    ph, bt, tt = pallas_gru._pick_tiles(p, b, t, h, d, True, "bwd")
+    assert tt > 1 and t // tt > 1, (ph, bt, tt)
+
+    params = init_stacked_gru(jax.random.key(17), p, d, h)
+    x = jax.random.normal(jax.random.key(18), (b, t, d))
+    h0 = jax.random.normal(jax.random.key(19), (p, b, h))
+    tgt = jax.random.normal(jax.random.key(20), (p, b, t, h))
+
+    def loss(fn):
+        def f(p_, x_, h_):
+            outs, ht = fn(p_, x_, h_)
+            return jnp.sum((outs - tgt) ** 2) + jnp.sum(ht * 0.3)
+        return f
+
+    g1 = jax.grad(loss(gru_scan_heads), argnums=(0, 1, 2))(params, x, h0)
+    g2 = jax.grad(loss(pallas_gru.gru_scan_heads_fused), argnums=(0, 1, 2))(
+        params, x, h0)
+    for a, bb in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-4)

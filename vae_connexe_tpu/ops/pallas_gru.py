@@ -123,7 +123,9 @@ def _pick_tiles(p: int, b: int, t: int, hidden: int, d_in: int,
             scratch = blk(ph, tt, bt, three_h) + blk(ph, bt, hidden)
         else:
             dx_blk = blk(1, tt, bt, d_in) if shared else blk(ph, tt, bt, d_in)
-            streamed = x_blk + 2 * blk(ph, tt, bt, hidden) + dx_blk
+            # outs + douts tiles, the (ph, 1, bt, H) boundary block, and dx.
+            streamed = (x_blk + 2 * blk(ph, tt, bt, hidden)
+                        + blk(ph, 1, bt, hidden) + dx_blk)
             dw_out = jb * (blk(ph, 1, three_h, d_in)
                            + blk(ph, 1, three_h, hidden)
                            + 2 * blk(ph, 1, 1, three_h)
@@ -315,8 +317,8 @@ def fused_gru_scan_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
 # Backward kernel + custom VJP (trainable fused path)
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(x_ref, hprev_ref, douts_ref, w_ih_ref, b_ih_ref, w_hh_ref,
-                b_hh_ref,
+def _bwd_kernel(x_ref, outs_ref, bnd_ref, douts_ref, w_ih_ref, b_ih_ref,
+                w_hh_ref, b_hh_ref,
                 dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref, dh0_ref,
                 gxp_scratch, dh_scratch, dwih_scratch, dbih_scratch,
                 dwhh_scratch, dbhh_scratch,
@@ -334,6 +336,14 @@ def _bwd_kernel(x_ref, hprev_ref, douts_ref, w_ih_ref, b_ih_ref, w_hh_ref,
     xp[t] and overwrites the same scratch slot with the per-step
     input-projection gradient gx; after the loop one whole-tile matmul per
     head folds gx into dW_ih / db_ih / dx — dxp never leaves VMEM.
+
+    h_prev comes from the forward's ``outs`` tile directly (h_prev at
+    in-tile step t is outs[t-1]); only the tile's FIRST step needs the
+    previous tile's last output, delivered via ``bnd_ref`` — one
+    (ph, 1, Bt, H) block per time tile holding h0 (first tile) or
+    outs[k·tt − 1].  This avoids materializing the full shifted
+    (P, T, B, H) hprev tensor in HBM (an extra write + read of the
+    kernel's largest stream that the XLA-level concatenate used to cost).
     """
     k = pl.program_id(2)
 
@@ -350,7 +360,10 @@ def _bwd_kernel(x_ref, hprev_ref, douts_ref, w_ih_ref, b_ih_ref, w_hh_ref,
 
     def step(i, dh_c):                             # dh_c: (ph, Bt, H)
         t = t_tile - 1 - i
-        h_prev = hprev_ref[:, t]
+        # h_prev = outs[t-1] within the tile; the t=0 step reads the
+        # boundary block (previous tile's last output, or h0).
+        h_prev = jnp.where(t == 0, bnd_ref[:, 0],
+                           outs_ref[:, jnp.maximum(t - 1, 0)])
         dh = douts_ref[:, t] + dh_c
 
         # All heads per step as batched 3D dots; b_hh pre-broadcast to
@@ -410,14 +423,18 @@ def _bwd_kernel(x_ref, hprev_ref, douts_ref, w_ih_ref, b_ih_ref, w_hh_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
+def _fused_recurrence_bwd(x_tm: jax.Array, outs_tm: jax.Array,
+                          h0: jax.Array,
                           douts: jax.Array, w_ih: jax.Array, b_ih: jax.Array,
                           w_hh: jax.Array, b_hh: jax.Array,
                           interpret: bool = False):
     """All arrays time-major: x_tm (T,B,D) shared or (P,T,B,D) per-head,
-    hprev/douts (P,T,B,H).  Gate activations are rematerialized from hprev
-    + the in-kernel re-projected xp, so neither the forward's outs nor any
-    xp/dxp tensor enters HBM.  Returns (dx_tm — (T,B,D) shared (already
+    outs_tm/douts (P,T,B,H), h0 (P,B,H).  Gate activations are
+    rematerialized from the forward's outs (h_prev ≡ outs shifted by one —
+    read in place via the time-tile index map plus a per-tile boundary
+    block, never materialized as a separate shifted tensor) + the
+    in-kernel re-projected xp, so no xp/dxp/hprev tensor enters HBM.
+    Returns (dx_tm — (T,B,D) shared (already
     head-reduced) or (P,T,B,D) —, dwih (P,3H,D), dbih (P,3H),
     dwhh (P,3H,H), dbhh (P,3H), dh0 (P,B,H))."""
     shared = x_tm.ndim == 3
@@ -439,6 +456,15 @@ def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
         dx_spec = pl.BlockSpec((ph, tt, bt, d), rev, memory_space=pltpu.VMEM)
         dx_shape = jax.ShapeDtypeStruct((p, t, b, d), x_tm.dtype)
 
+    # Boundary blocks: bnd[k] = h_prev at time-tile k's first step — h0 for
+    # k=0, else outs[k·tt − 1].  (P, n_tt, B, H): a 1/tt-sized strided read
+    # instead of materializing the full shifted hprev tensor.
+    if n_tt > 1:
+        bnd = jnp.concatenate(
+            [h0[:, None], outs_tm[:, tt - 1::tt][:, : n_tt - 1]], axis=1)
+    else:
+        bnd = h0[:, None]
+
     kernel = functools.partial(_bwd_kernel, t_tile=tt, n_tt=n_tt, ph=ph,
                                hidden=hidden, shared=shared)
     dx, dwih_p, dbih_p, dwhh_p, dbhh_p, dh0 = pl.pallas_call(
@@ -447,6 +473,9 @@ def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
         in_specs=[
             x_spec,
             pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, 1, bt, hidden),
+                         lambda i, j, k: (i, n_tt - 1 - k, j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, d), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -489,7 +518,7 @@ def _fused_recurrence_bwd(x_tm: jax.Array, hprev: jax.Array,
             pltpu.VMEM((ph, 1, three_h), jnp.float32),
         ],
         interpret=interpret,
-    )(x_tm, hprev, douts, w_ih, b_ih[:, None, :], w_hh,
+    )(x_tm, outs_tm, bnd, douts, w_ih, b_ih[:, None, :], w_hh,
       jnp.broadcast_to(b_hh[:, None, :], (p, bt, three_h)))
 
     if shared:
@@ -527,10 +556,10 @@ def _fused_core_fwd(w_ih, b_ih, w_hh, b_hh, x, h0):
 
 def _fused_core_bwd(res, douts):
     w_ih, b_ih, w_hh, b_hh, x_tm, h0, outs_tm = res
-    hprev = jnp.concatenate([h0[:, None], outs_tm[:, :-1]], axis=1)
     douts_tm = jnp.swapaxes(douts, 1, 2)
     dx_tm, dwih, dbih, dwhh, dbhh, dh0 = _fused_recurrence_bwd(
-        x_tm, hprev, douts_tm, w_ih, b_ih, w_hh, b_hh, interpret=_INTERPRET)
+        x_tm, outs_tm, h0, douts_tm, w_ih, b_ih, w_hh, b_hh,
+        interpret=_INTERPRET)
     dx = _time_major(dx_tm)      # swap back: (T,B,D)->(B,T,D) / 4D analogue
     return dwih, dbih, dwhh, dbhh, dx, dh0
 
