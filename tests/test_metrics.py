@@ -135,7 +135,7 @@ def test_stability_selection_filters_unstable_edges():
         if s < 3:   # a minority of seeds inflates one spurious edge
             scores[0, 2] = 0.9
         stacks.append(np.abs(scores))
-    votes, selected = stability_selection(jnp.asarray(np.stack(stacks)))
+    votes, selected, _ = stability_selection(jnp.asarray(np.stack(stacks)))
     assert selected.tolist() == truth.tolist()
     # The spurious edge collected some votes but stays below the majority.
     assert 0.0 < float(votes[0, 2]) < 0.5
@@ -162,5 +162,6 @@ def test_auto_vote_threshold_gap_rule():
 
     stack = jnp.stack([jnp.asarray([[1.0, 1.0], [0.0, 1.0]])] * 6
                       + [jnp.asarray([[1.0, 0.0], [1.0, 1.0]])] * 2)
-    _, sel = stability_selection(stack, min_frac="auto")
+    _, sel, frac = stability_selection(stack, min_frac="auto")
+    assert 0.5 <= frac <= 0.95
     assert sel.tolist() == [[1, 1], [0, 1]]

@@ -82,10 +82,8 @@ def _cmd_sweep(args):
     from vae_connexe_tpu.evals import gc_metrics, stability_selection
 
     min_frac = "auto" if args.min_frac == "auto" else float(args.min_frac)
-    votes, selected = stability_selection(out["gc_scores"], min_frac=min_frac)
-    if min_frac == "auto":
-        from vae_connexe_tpu.evals.gc_metrics import auto_vote_threshold
-        min_frac = auto_vote_threshold(votes)
+    votes, selected, min_frac = stability_selection(out["gc_scores"],
+                                                    min_frac=min_frac)
     stab = gc_metrics(truth, votes, min_frac - 1e-9)
     print(json.dumps({
         "seeds": args.seeds,

@@ -527,12 +527,10 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             # this is the framework-native unsupervised operating point.
             if exp.stability_seeds > 1:
                 from vae_connexe_tpu.evals import stability_selection
-                from vae_connexe_tpu.evals.gc_metrics import \
-                    auto_vote_threshold
 
                 # Stage 2 leaves W_in untouched unless update_w_in_stage2
                 # (it only refines the frozen-support fit), so the extra
-                # seeds skip it — identical scores at half the cost.
+                # seeds skip it — identical scores, stage 2's epochs saved.
                 e2 = (exp.win.stage2_epochs
                       if exp.win.update_w_in_stage2 else 0)
                 stack = [np.asarray(scores)]
@@ -543,10 +541,9 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                                         stage2_epochs=e2, verbose=False)
                     stack.append(np.asarray(
                         model.granger_matrix(ps, threshold=False)))
-                votes, _ = stability_selection(
+                votes, _, min_frac = stability_selection(
                     jnp.asarray(np.stack(stack)), min_frac="auto",
                     exclude_diagonal=True)
-                min_frac = auto_vote_threshold(votes, exclude_diagonal=True)
                 v_off = jnp.asarray(np.asarray(votes)[offmask])
                 results["gc_stability"] = {
                     "seeds": exp.stability_seeds, "min_frac": min_frac,

@@ -151,9 +151,13 @@ def stability_selection(score_stack: jax.Array,
     over-selections are init-specific (votes scattered below), so the vote
     spectrum is bimodal where the raw score spectrum need not be.
 
-    Returns ``(votes (p, p) in [0,1], selected = votes >= min_frac)``.
-    The reference has no multi-seed machinery at all; this is the
-    framework-native ensemble answer to its manual threshold sweeps.
+    Returns ``(votes (p, p) in [0,1], selected = votes >= min_frac,
+    min_frac)`` — the last element is the *resolved* vote threshold, so
+    callers reporting metrics at the cut never re-derive it (keeping
+    their ``exclude_diagonal``/epsilon choices in sync with the
+    selection actually made).  The reference has no multi-seed machinery
+    at all; this is the framework-native ensemble answer to its manual
+    threshold sweeps.
     """
     def select_one(s):
         thr = auto_threshold(s, exclude_diagonal=exclude_diagonal)
@@ -162,7 +166,7 @@ def stability_selection(score_stack: jax.Array,
     votes = jax.vmap(select_one)(score_stack).mean(axis=0)
     if min_frac == "auto":
         min_frac = auto_vote_threshold(votes, exclude_diagonal)
-    return votes, (votes >= min_frac).astype(jnp.int32)
+    return votes, (votes >= min_frac).astype(jnp.int32), float(min_frac)
 
 
 def auto_vote_threshold(votes: jax.Array,

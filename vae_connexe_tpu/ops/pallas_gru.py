@@ -473,9 +473,9 @@ def _fused_recurrence_bwd(x_tm: jax.Array, outs_tm: jax.Array,
         in_specs=[
             x_spec,
             pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, 1, bt, hidden),
-                         lambda i, j, k: (i, n_tt - 1 - k, j, 0),
-                         memory_space=pltpu.VMEM),
+            # bnd blocks are 1-wide on the time-tile axis, so ``rev``
+            # (block-unit indices) addresses them directly.
+            pl.BlockSpec((ph, 1, bt, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, tt, bt, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, three_h, d), lambda i, j, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
