@@ -134,3 +134,48 @@ def test_win_trainer_stage1_sparsifies_and_stage2_freezes():
     # stage-2 freeze: pruned entries stay exactly zero after more training.
     pruned = np.asarray(tr.prune(params).w_in) == 0
     assert bool((np.asarray(params.w_in)[pruned] == 0).all())
+
+
+def test_win_fit_many_matches_sequential_fits():
+    """fit_many trains S inits in one vmapped program with per-seed streams
+    identical to fit()'s (same split/shuffle discipline), so each seed's
+    final params must match the sequential loop to float tolerance."""
+    series = coupled_henon(jax.random.key(0), t=400, d=4)
+    w = sliding_windows(series, 16)
+    m = WInCRVAE(d=4, hidden=16, latent=8, tau=8)
+    tr = WInTrainer(m, WInTrainConfig(batch_size=64, lam=0.05, lr=2e-3))
+
+    keys = jax.random.split(jax.random.key(5), 3)
+    p_stack = jax.vmap(m.init)(jax.random.split(jax.random.key(6), 3))
+    many, m_many = tr.fit_many(p_stack, w, keys,
+                               stage1_epochs=6, stage2_epochs=2,
+                               epochs_per_dispatch=4)
+    assert m_many["loss"].shape == (3,)
+
+    for s in range(3):
+        p_s = jax.tree.map(lambda x, s=s: x[s], p_stack)
+        seq, _ = tr.fit(p_s, w, keys[s], stage1_epochs=6, stage2_epochs=2,
+                        epochs_per_dispatch=4)
+        for a, b in zip(jax.tree.leaves(seq),
+                        jax.tree.leaves(jax.tree.map(
+                            lambda x, s=s: x[s], many))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_win_fit_many_stage2_zero_epochs():
+    """The stability-selection path: stage2_epochs=0 returns pruned stage-I
+    params (prune still applied between stages)."""
+    series = coupled_henon(jax.random.key(0), t=400, d=4)
+    w = sliding_windows(series, 16)
+    m = WInCRVAE(d=4, hidden=16, latent=8, tau=8)
+    tr = WInTrainer(m, WInTrainConfig(batch_size=64, lam=0.2, lr=2e-3,
+                                      prune_threshold=1e-3))
+    p_stack = jax.vmap(m.init)(jax.random.split(jax.random.key(7), 2))
+    many, _ = tr.fit_many(p_stack, w, jax.random.split(jax.random.key(8), 2),
+                          stage1_epochs=5, stage2_epochs=0,
+                          epochs_per_dispatch=5)
+    w_in = np.asarray(many.w_in)
+    # prune ran: no |entry| in (0, threshold].
+    nz = w_in[w_in != 0]
+    assert (np.abs(nz) > 1e-3).all()

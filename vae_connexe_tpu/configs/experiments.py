@@ -533,14 +533,20 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 # seeds skip it — identical scores, stage 2's epochs saved.
                 e2 = (exp.win.stage2_epochs
                       if exp.win.update_w_in_stage2 else 0)
-                stack = [np.asarray(scores)]
-                for s in range(1, exp.stability_seeds):
-                    ps = model.init(jax.random.fold_in(k_init, s))
-                    ps, _ = trainer.fit(ps, windows,
-                                        jax.random.fold_in(k_run, 100 + s),
-                                        stage2_epochs=e2, verbose=False)
-                    stack.append(np.asarray(
-                        model.granger_matrix(ps, threshold=False)))
+                # All extra seeds train SIMULTANEOUSLY in one vmapped
+                # program per epoch block (WInTrainer.fit_many) — the
+                # chip-filling form of the sequential per-seed loop.
+                s_idx = jnp.arange(1, exp.stability_seeds)
+                p_stack = jax.vmap(
+                    lambda s: model.init(jax.random.fold_in(k_init, s)))(s_idx)
+                seed_keys = jax.vmap(
+                    lambda s: jax.random.fold_in(k_run, 100 + s))(s_idx)
+                p_stack, _ = trainer.fit_many(p_stack, windows, seed_keys,
+                                              stage2_epochs=e2)
+                extra = jax.vmap(
+                    lambda ps: model.granger_matrix(ps, threshold=False))(
+                        p_stack)
+                stack = [np.asarray(scores)] + list(np.asarray(extra))
                 votes, _, min_frac = stability_selection(
                     jnp.asarray(np.stack(stack)), min_frac="auto",
                     exclude_diagonal=True)

@@ -111,24 +111,29 @@ class WInTrainer:
         stability-selection loop in ``configs/experiments.py``) re-trace
         nothing — the round-2 sweep-re-jit lesson applied here."""
         if stage not in self._run_cache:
-            step_fn = self._make_step(stage=stage)
-            bs = self.cfg.batch_size
-
-            def run(state, keys, windows):
-                n = (windows.shape[0] // bs) * bs
-
-                def one_epoch(state, shuffle_key):
-                    perm = jax.random.permutation(
-                        shuffle_key, windows.shape[0])[:n]
-                    batches = jnp.take(windows, perm, axis=0).reshape(
-                        -1, bs, *windows.shape[1:])
-                    state, m = jax.lax.scan(step_fn, state, batches)
-                    return state, {k: v.mean() for k, v in m.items()}
-
-                return jax.lax.scan(one_epoch, state, keys)
-
-            self._run_cache[stage] = jax.jit(run)
+            self._run_cache[stage] = jax.jit(self._make_run(stage))
         return self._run_cache[stage]
+
+    def _make_run(self, stage: int):
+        """The raw (un-jitted) epoch-block runner ``_get_run``/``_get_run_many``
+        wrap: scan over epoch keys, inner scan over shuffled batches."""
+        step_fn = self._make_step(stage=stage)
+        bs = self.cfg.batch_size
+
+        def run(state, keys, windows):
+            n = (windows.shape[0] // bs) * bs
+
+            def one_epoch(state, shuffle_key):
+                perm = jax.random.permutation(
+                    shuffle_key, windows.shape[0])[:n]
+                batches = jnp.take(windows, perm, axis=0).reshape(
+                    -1, bs, *windows.shape[1:])
+                state, m = jax.lax.scan(step_fn, state, batches)
+                return state, {k: v.mean() for k, v in m.items()}
+
+            return jax.lax.scan(one_epoch, state, keys)
+
+        return run
 
     def _support_mask(self, w_in: jax.Array) -> jax.Array:
         """Nonzero-structure mask at the prox's granularity: per element for
@@ -199,3 +204,62 @@ class WInTrainer:
         if return_stage1:
             return state.params, m2 or metrics, stage1_params
         return state.params, m2 or metrics
+
+    def fit_many(self, params_stack: WInCRVAEParams, windows: jax.Array,
+                 keys: jax.Array, stage1_epochs: int | None = None,
+                 stage2_epochs: int | None = None,
+                 epochs_per_dispatch: int = 25):
+        """``fit`` vmapped over a leading seed axis: train S independent
+        inits *simultaneously* in one compiled program per epoch block.
+
+        ``params_stack`` has every leaf stacked on axis 0 (S, ...); ``keys``
+        is (S,) PRNG keys.  Seed s follows exactly ``fit(params[s], windows,
+        keys[s])``'s key/shuffle stream (same split discipline per block),
+        so results match the sequential loop up to vmap-batched float
+        reassociation.  Built for stability selection
+        (``configs/experiments.py``): the reference has nothing like it —
+        its scripts train one init per process — and sequential multi-seed
+        fits waste the chip at these model sizes (the same finding as the
+        CRVAE seed sweep, ``parallel/seed_sweep.py``).
+
+        Returns ``(params_stack after stage II, {metric: (S,) last value})``.
+        """
+        cfg = self.cfg
+        e1 = cfg.stage1_epochs if stage1_epochs is None else stage1_epochs
+        e2 = cfg.stage2_epochs if stage2_epochs is None else stage2_epochs
+
+        vrun1 = self._get_run_many(stage=1)
+        vrun2 = self._get_run_many(stage=2)
+
+        states = jax.vmap(self.init_state)(params_stack, keys)
+        metrics = {}
+
+        def run_stage(vrun, states, keys, epochs):
+            done = 0
+            m = {}
+            while done < epochs:
+                k = min(epochs_per_dispatch, epochs - done)
+                split = jax.vmap(jax.random.split)(keys)      # (S, 2) keys
+                keys, k_s = split[:, 0], split[:, 1]
+                epoch_keys = jax.vmap(
+                    lambda kk: jax.random.split(kk, k))(k_s)  # (S, k)
+                states, block_m = vrun(states, epoch_keys, windows)
+                done += k
+                m = {name: v[:, -1] for name, v in block_m.items()}
+            return states, keys, m
+
+        states, keys, metrics = run_stage(vrun1, states, keys, e1)
+        states = states.replace(params=jax.vmap(self.prune)(states.params))
+        states, keys, m2 = run_stage(vrun2, states, keys, e2)
+        return states.params, m2 or metrics
+
+    def _get_run_many(self, stage: int):
+        """Seed-vmapped variant of ``_get_run``'s block runner (cached)."""
+        cache_key = ("many", stage)
+        if cache_key not in self._run_cache:
+            # _get_run caches jit(run); rebuild the raw runner via the same
+            # factory then vmap it over (state, epoch keys), windows shared.
+            raw = self._make_run(stage)
+            self._run_cache[cache_key] = jax.jit(
+                jax.vmap(raw, in_axes=(0, 0, None)))
+        return self._run_cache[cache_key]
