@@ -203,14 +203,16 @@ def main():
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
     ap.add_argument("--workload",
                     choices=["train", "phase2", "longhorizon", "xl",
-                             "generate", "sweep"],
+                             "generate", "sweep", "stream"],
                     default="train",
                     help="train = phase-1 steps/sec at p=20 (headline); "
                          "phase2 = generation-phase steps/sec (CRVAE SGD + "
                          "error-VAE Adam per step) at p=20; "
                          "longhorizon = ctx=128 fused decode path; "
                          "xl = p=128; generate = rollout serving throughput; "
-                         "sweep = vmapped multi-seed phase-1 (seed-steps/s)")
+                         "sweep = vmapped multi-seed phase-1 (seed-steps/s); "
+                         "stream = phase-1 fed from a disk-backed series "
+                         "via the native out-of-core loader")
     ap.add_argument("--seeds", type=int, default=8,
                     help="seed count for --workload sweep")
     ap.add_argument("--serve-batch", type=int, default=None,
@@ -239,6 +241,8 @@ def main():
         return bench_phase2(args)
     if args.workload == "sweep":
         return bench_sweep(args)
+    if args.workload == "stream":
+        return bench_stream(args)
 
     from vae_connexe_tpu.data import arrange_input, lorenz96
     from vae_connexe_tpu.models import CRVAE
@@ -299,6 +303,75 @@ def main():
         "device": str(device.device_kind),
         "timed_steps": n_chunks * chunk_len,
         "final_loss": final_loss,
+    }
+    flops, hbm = phase1_flops_bytes(args.p, args.hidden, args.batch,
+                                    args.context)
+    out.update(roofline_fields(steps_per_sec, flops, hbm,
+                               str(device.device_kind)))
+    print(json.dumps(out))
+
+
+def bench_stream(args):
+    """Out-of-core phase-1 training at the north-star shape: minibatches
+    stream host→device from a disk-backed series through the native C++
+    window loader (``train/streaming.py``), one chunk prefetched ahead.
+
+    The interesting number is the gap to the in-memory headline: it prices
+    the host feed (B·ctx·p f32 per step through the host→device link — on
+    the axon relay that link is the bottleneck, not the loader's mmap
+    gather).  Training math is bitwise the in-memory run
+    (tests/test_streaming.py)."""
+    import pathlib
+    import tempfile
+
+    import numpy as np
+
+    from vae_connexe_tpu.data import lorenz96
+    from vae_connexe_tpu.data.native_loader import NativeWindowLoader
+    from vae_connexe_tpu.models import CRVAE
+    from vae_connexe_tpu.train import Phase1Config, fit_phase1_streaming
+
+    series = lorenz96(jax.random.key(0), p=args.p, t=args.t)
+    series_np = np.ascontiguousarray(np.asarray(series), np.float32)
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    series_path = tmp / "series.f32"
+    series_np.tofile(series_path)
+    loader = NativeWindowLoader.from_file(str(series_path), *series_np.shape)
+
+    model = CRVAE(p=args.p, hidden=args.hidden)
+    chunk_len = 100
+    warmup_steps = args.warmup_chunks * chunk_len
+    cfg = Phase1Config(lam=0.1, lr=5e-2, batch_size=args.batch,
+                       check_every=chunk_len,
+                       max_iter=warmup_steps + args.steps)
+    params = model.init(jax.random.key(1))
+    parents = jnp.ones((args.p, args.p), jnp.float32)
+
+    marks = []
+
+    def callback(step, state, metrics):
+        # fit's metric fetch already synced the chunk; timestamp the boundary.
+        marks.append((step, time.perf_counter(), metrics["loss"]))
+
+    fit_phase1_streaming(model, params, loader, args.context, parents, cfg,
+                         jax.random.key(2), callback=callback)
+    timed = [m for m in marks if m[0] >= warmup_steps]
+    steps = timed[-1][0] - timed[0][0]
+    dt = timed[-1][1] - timed[0][1]
+    steps_per_sec = steps / dt
+    feed_bytes = args.batch * args.context * args.p * 4
+
+    device = jax.devices()[0]
+    out = {
+        "metric": f"crvae_lorenz96_phase1_stream_p{args.p}_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / TORCH_CPU_BASELINE_P20, 2),
+        "device": str(device.device_kind),
+        "timed_steps": steps,
+        "final_loss": timed[-1][2],
+        "host_feed_mb_per_step": round(feed_bytes / 2**20, 3),
+        "host_feed_gbps": round(steps_per_sec * feed_bytes / 1e9, 3),
     }
     flops, hbm = phase1_flops_bytes(args.p, args.hidden, args.batch,
                                     args.context)

@@ -54,6 +54,7 @@ def _cmd_run(args):
                              save_checkpoints=args.save_checkpoints,
                              artifacts_every=args.artifacts_every,
                              mesh=mesh,
+                             out_of_core=args.out_of_core,
                              verbose=not args.quiet)
     print(json.dumps(results, indent=2, default=str))
 
@@ -213,6 +214,11 @@ def main(argv=None):
                        help="train both phases sharded over all devices "
                             "(batch over dp, decoder heads over ep; "
                             "crvae family)")
+    p_run.add_argument("--out-of-core", action="store_true",
+                       dest="out_of_core",
+                       help="stream minibatches from a disk-backed series "
+                            "via the native C++ window loader (crvae "
+                            "family); training is bitwise the in-memory run")
     p_run.add_argument("--ep", type=int, default=1,
                        help="ep (head-parallel) mesh size for --mesh; "
                             "dp = n_devices / ep")

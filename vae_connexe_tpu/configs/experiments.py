@@ -243,6 +243,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                    save_checkpoints: bool = False,
                    artifacts_every: int | None = None,
                    mesh=None,
+                   out_of_core: bool = False,
                    log_fn=print) -> dict[str, Any]:
     """Execute a named experiment end to end.  Returns the metrics dict.
 
@@ -258,12 +259,27 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
     ``mesh`` (a (dp, ep) ``jax.sharding.Mesh``; CRVAE family) trains BOTH
     phases sharded over the mesh — batch over dp, stacked decoder heads
     over ep — with results equal to the single-device run (same keys).
+
+    ``out_of_core=True`` (CRVAE family) trains BOTH phases through the
+    native window loader: the series is written to a raw float32 file,
+    memory-mapped by the C++ loader, and minibatches stream host→device per
+    scan chunk — the data path for series too long for HBM.  Training is
+    bitwise the in-memory run (``train/streaming.py``); eval/figure surfaces
+    that need a window block use the first ``min(4096, n)`` windows (at the
+    committed configs that is all of them).
     """
     exp = get_experiment(name)
     if mesh is not None and exp.model_family != "crvae":
         raise ValueError(
             f"--mesh supports the crvae family (two-phase trainer); "
             f"{name!r} is {exp.model_family!r}")
+    if out_of_core and exp.model_family != "crvae":
+        raise ValueError(
+            f"--out-of-core supports the crvae family (streaming trainers); "
+            f"{name!r} is {exp.model_family!r}")
+    if out_of_core and mesh is not None:
+        raise ValueError("--out-of-core and --mesh are mutually exclusive: "
+                         "the streaming feed targets one host's device")
     if overrides:
         exp = dataclasses.replace(exp, **overrides)
     key = jax.random.key(seed)
@@ -281,13 +297,37 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         from vae_connexe_tpu.train import (fit_phase1, fit_phase2,
                                            generate_with_compensation)
 
-        windows, _ = arrange_input(series, exp.context)
         model = CRVAE(p=exp.p, hidden=exp.hidden)
         params = model.init(k_init)
         full = jnp.ones((exp.p, exp.p), jnp.float32)
-        best, state, m1 = fit_phase1(model, params, windows, full, exp.phase1,
-                                     k_run, verbose=verbose, log_fn=log_fn,
-                                     mesh=mesh)
+        loader = None
+        if out_of_core:
+            import tempfile
+
+            from vae_connexe_tpu.data.native_loader import NativeWindowLoader
+            from vae_connexe_tpu.train import (fit_phase1_streaming,
+                                               fit_phase2_streaming)
+
+            series_np = np.ascontiguousarray(np.asarray(series), np.float32)
+            base = out if out else pathlib.Path(tempfile.mkdtemp())
+            series_path = base / f"series_{name}.f32"
+            series_np.tofile(series_path)
+            loader = NativeWindowLoader.from_file(str(series_path),
+                                                  *series_np.shape)
+            best, state, m1 = fit_phase1_streaming(
+                model, params, loader, exp.context, full, exp.phase1, k_run,
+                verbose=verbose, log_fn=log_fn)
+            # Bounded window block for the eval/figure surfaces below —
+            # identical to the in-memory windows' head (gather parity is
+            # pinned in tests/test_native_loader.py).
+            n_eval = min(4096, loader.t - exp.context)
+            windows = jnp.asarray(
+                loader.gather(np.arange(n_eval, dtype=np.int64), exp.context))
+        else:
+            windows, _ = arrange_input(series, exp.context)
+            best, state, m1 = fit_phase1(model, params, windows, full,
+                                         exp.phase1, k_run, verbose=verbose,
+                                         log_fn=log_fn, mesh=mesh)
         scores = model.gc(best, threshold=False)
         gc_est = model.gc(best, threshold=True)
         results["phase1"] = m1
@@ -374,11 +414,18 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                     trajectory_overlay(ori, syn,
                                        str(out / f"traj_{name}_it{step}.png"))
 
-            best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
-                                            err_params, windows, mask,
-                                            exp.phase2, k_p2, verbose=verbose,
-                                            log_fn=log_fn, callback=callback,
-                                            mesh=mesh)
+            if out_of_core:
+                best2, err2, _, m2 = fit_phase2_streaming(
+                    model, err_model, p2_params, err_params, loader,
+                    exp.context, mask, exp.phase2, k_p2, verbose=verbose,
+                    log_fn=log_fn, callback=callback)
+            else:
+                best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
+                                                err_params, windows, mask,
+                                                exp.phase2, k_p2,
+                                                verbose=verbose,
+                                                log_fn=log_fn,
+                                                callback=callback, mesh=mesh)
             results["phase2"] = m2
             gen = generate_with_compensation(model, err_model, best2, err2,
                                              k_gen, 256, parents=mask)

@@ -12,6 +12,10 @@ from vae_connexe_tpu.train.crvae_trainer import (
     make_phase1_step,
     make_phase2_step,
 )
+from vae_connexe_tpu.train.streaming import (
+    fit_phase1_streaming,
+    fit_phase2_streaming,
+)
 from vae_connexe_tpu.train.win_trainer import WInTrainer
 from vae_connexe_tpu.train.vrae_trainer import fit_vrae
 from vae_connexe_tpu.train.csrae_trainer import fit_csrae
@@ -25,7 +29,9 @@ __all__ = [
     "WInTrainer",
     "fit_csrae",
     "fit_phase1",
+    "fit_phase1_streaming",
     "fit_phase2",
+    "fit_phase2_streaming",
     "fit_vrae",
     "generate_with_compensation",
     "make_phase1_step",

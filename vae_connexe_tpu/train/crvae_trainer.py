@@ -126,14 +126,21 @@ def _track_best(state, candidate_params, mean_loss):
 
 def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
                      parents: jax.Array, fixed_batch: Optional[jax.Array] = None,
-                     batch_sharding=None):
+                     batch_sharding=None, stream: bool = False):
     """Build the jittable phase-1 step: (Phase1State,) -> (Phase1State, metrics).
 
     ``batch_sharding`` (a ``NamedSharding``, meshed fits only) constrains the
     gathered batch's layout so GSPMD splits the forward/backward over dp and
     reduces gradients with an ICI psum instead of replicating the compute.
+
+    ``stream=True`` builds the out-of-core variant: the step takes its batch
+    as the scan's xs element (host-fed via the native window loader) instead
+    of gathering from an in-HBM ``windows`` array.  The key chain is split
+    exactly as in the in-memory step (k_batch drawn and discarded), so a host
+    that mirrors the chain feeds the SAME batches the device would have
+    gathered — streaming ≡ in-memory bitwise (``train/streaming.py``).
     """
-    if fixed_batch is None and not cfg.resample_batches:
+    if fixed_batch is None and not cfg.resample_batches and not stream:
         # Fixed-batch parity mode without a caller-provided batch: draw the
         # reference's ONE random gather (``author_CRVAE.py:473-476``) here,
         # deterministically — NOT the first batch_size consecutive windows.
@@ -141,9 +148,11 @@ def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
                                  windows.shape[0])
         fixed_batch = jnp.take(windows, idx, axis=0)
 
-    def step(state: Phase1State, _):
+    def step(state: Phase1State, xs):
         key, k_batch, k_z = jax.random.split(state.key, 3)
-        if fixed_batch is not None:
+        if stream:
+            batch = xs
+        elif fixed_batch is not None:
             batch = fixed_batch
         else:
             idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, windows.shape[0])
@@ -263,20 +272,26 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
 def make_phase2_step(model: CRVAE, err_model: ErrorVAE, cfg: Phase2Config,
                      windows: jax.Array, parents: jax.Array,
                      err_opt: optax.GradientTransformation,
-                     batch_sharding=None):
+                     batch_sharding=None, stream: bool = False):
     """Build the jittable phase-2 step.
 
     One step = (a) SGD + mask projection on the pruned CRVAE with β = 1 KL,
     (b) Adam on the error VAE against the stop-gradient residuals — the
     reference's gradient firewall (``author_CRVAE.py:602``).
 
-    ``batch_sharding`` as in ``make_phase1_step`` (meshed fits).
+    ``batch_sharding`` as in ``make_phase1_step`` (meshed fits); ``stream``
+    as in ``make_phase1_step`` (batch arrives as the scan's xs element, the
+    key chain is split identically so host-fed batches match).
     """
 
-    def step(state: Phase2State, _):
+    def step(state: Phase2State, xs):
         key, k_batch, k_z, k_e = jax.random.split(state.key, 4)
-        idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, windows.shape[0])
-        batch = jnp.take(windows, idx, axis=0)
+        if stream:
+            batch = xs
+        else:
+            idx = jax.random.randint(k_batch, (cfg.batch_size,), 0,
+                                     windows.shape[0])
+            batch = jnp.take(windows, idx, axis=0)
         if batch_sharding is not None:
             batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
         target = batch[:, model.enc_len:, :]

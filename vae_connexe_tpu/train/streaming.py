@@ -1,0 +1,236 @@
+"""Out-of-core streaming trainers backed by the native window loader.
+
+The in-memory ``fit_phase1``/``fit_phase2`` close over the full window array
+in HBM and gather minibatches on device — the right call whenever the series
+fits (every reference workload does; the reference itself holds all windows
+in one torch tensor, ``/root/reference/author_CRVAE.py:457-476``).  For
+series too long for device memory, these variants keep the windows on disk
+(or host RAM) behind ``data.native_loader.NativeWindowLoader`` — the C++
+mmap loader — and feed each jitted scan chunk its batches as the scan's xs.
+
+Equivalence is exact, not approximate: the device step splits its key chain
+identically in both modes (``make_phase1_step(stream=True)`` draws and
+discards k_batch), and the host mirrors that chain to compute the SAME
+uniform window indices the device would have gathered.  threefry bits are
+backend-deterministic, so streaming training is bitwise the in-memory run
+batch-for-batch (pinned in ``tests/test_streaming.py``).
+
+Pipelining: the next chunk's C++ gather runs on a host thread while the
+device executes the current chunk, so disk/host IO hides behind compute
+whenever gather time < chunk compute time.  Chunk sizes are capped by an
+IO budget (``io_budget_bytes``) so host blocks stay bounded no matter how
+large ``check_every`` is.
+"""
+
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vae_connexe_tpu.data.native_loader import NativeWindowLoader
+from vae_connexe_tpu.models.crvae import CRVAE, CRVAEParams
+from vae_connexe_tpu.models.error_vae import ErrorVAE, ErrorVAEParams
+from vae_connexe_tpu.models.gmm_prior import init_gmm_prior
+from vae_connexe_tpu.train.config import Phase1Config, Phase2Config
+from vae_connexe_tpu.train.crvae_trainer import (
+    Phase1State,
+    Phase2State,
+    _chunk_lengths,
+    make_phase1_step,
+    make_phase2_step,
+)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("length", "batch_size", "n_windows",
+                                    "n_split"))
+def _index_chunk(key, length: int, batch_size: int, n_windows: int,
+                 n_split: int):
+    """Mirror ``length`` steps of the device key chain; return the uniform
+    window indices each step's k_batch would draw, plus the advanced key.
+
+    ``n_split`` is the step's split width (3 for phase 1: key/k_batch/k_z;
+    4 for phase 2: key/k_batch/k_z/k_e) — ks[1] is k_batch in both."""
+    def body(k, _):
+        ks = jax.random.split(k, n_split)
+        idx = jax.random.randint(ks[1], (batch_size,), 0, n_windows)
+        return ks[0], idx
+    return jax.lax.scan(body, key, None, length=length)
+
+
+def _io_chunks(max_iter: int, check_every: int, step_bytes: int,
+               io_budget_bytes: int) -> list[list[int]]:
+    """check_every-aligned chunk groups, each split into sub-chunks whose
+    host batch block stays under the IO budget.  Metrics/callbacks fire at
+    group boundaries, matching the in-memory fit's cadence."""
+    cap = max(1, io_budget_bytes // max(1, step_bytes))
+    groups = []
+    for length in _chunk_lengths(max_iter, check_every):
+        full, rem = divmod(length, cap)
+        groups.append([cap] * full + ([rem] if rem else []))
+    return groups
+
+
+def _gather_chunk(loader: NativeWindowLoader, idxs: np.ndarray,
+                  context: int) -> np.ndarray:
+    """(length, B) start indices -> (length, B, context, p) float32 block via
+    one native fill call."""
+    length, batch = idxs.shape
+    flat = loader.gather(idxs.reshape(-1), context)
+    return flat.reshape(length, batch, context, loader.p)
+
+
+def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
+                         loader: NativeWindowLoader, context: int,
+                         parents: jax.Array, cfg: Phase1Config,
+                         key: jax.Array, n_windows: Optional[int] = None,
+                         verbose: bool = False, log_fn=print, callback=None,
+                         io_budget_bytes: int = 128 << 20):
+    """Phase 1 with host-streamed minibatches; bitwise ≡ ``fit_phase1`` run
+    on ``arrange_input(series, context)[0]`` of the same series and key.
+
+    ``n_windows`` defaults to ``loader.t - context`` — the ``arrange_input``
+    window count the in-memory fit samples from (its windows carry one extra
+    trailing step of lookahead for the shifted-target variant; the CRVAE
+    trainers never index it).
+    """
+    if n_windows is None:
+        n_windows = loader.t - context
+
+    prior = None
+    if cfg.latent_reg == "cs":
+        key, k_prior = jax.random.split(key)
+        prior = init_gmm_prior(k_prior, cfg.gmm_components, model.hidden)
+
+    if not cfg.resample_batches:
+        # Fixed-batch parity mode: one host gather up front, then the scan
+        # runs without xs exactly like the in-memory fixed-batch fit.
+        key, k_fix = jax.random.split(key)
+        idx = np.asarray(jax.random.randint(k_fix, (cfg.batch_size,), 0,
+                                            n_windows), np.int64)
+        fixed = jnp.asarray(loader.gather(idx, context))
+        step = make_phase1_step(model, cfg, None, parents, fixed_batch=fixed)
+
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def run_fixed(state, length):
+            return jax.lax.scan(step, state, None, length=length)
+    else:
+        step = make_phase1_step(model, cfg, None, parents, stream=True)
+
+        @jax.jit
+        def run_chunk(state, batches):
+            return jax.lax.scan(step, state, batches)
+
+    state = Phase1State(params=params, prior=prior, best_params=params,
+                        best_loss=jnp.array(jnp.inf), key=key,
+                        step=jnp.zeros([], jnp.int32))
+
+    metrics = {}
+    if not cfg.resample_batches:
+        for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
+            state, chunk_metrics = run_fixed(state, length)
+            metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+            if verbose:
+                log_fn(f"[phase1 it={int(state.step)}] "
+                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+            if callback is not None:
+                callback(int(state.step), state, metrics)
+        return state.best_params, state, metrics
+
+    step_bytes = cfg.batch_size * context * model.p * 4
+    groups = _io_chunks(cfg.max_iter, cfg.check_every, step_bytes,
+                        io_budget_bytes)
+    flat = [length for group in groups for length in group]
+
+    mirror_key = key
+    with ThreadPoolExecutor(1) as pool:
+        def prepare(mk, length):
+            mk, idxs = _index_chunk(mk, length, cfg.batch_size, n_windows, 3)
+            return mk, pool.submit(_gather_chunk, loader,
+                                   np.asarray(idxs, np.int64), context)
+
+        if flat:
+            mirror_key, fut = prepare(mirror_key, flat[0])
+        i = 0
+        for group in groups:
+            for _ in group:
+                batches = fut.result()
+                i += 1
+                if i < len(flat):
+                    mirror_key, fut = prepare(mirror_key, flat[i])
+                state, chunk_metrics = run_chunk(state, jnp.asarray(batches))
+            metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+            if verbose:
+                log_fn(f"[phase1 it={int(state.step)}] "
+                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+            if callback is not None:
+                callback(int(state.step), state, metrics)
+    return state.best_params, state, metrics
+
+
+def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
+                         params: CRVAEParams, err_params: ErrorVAEParams,
+                         loader: NativeWindowLoader, context: int,
+                         parents: jax.Array, cfg: Phase2Config,
+                         key: jax.Array, n_windows: Optional[int] = None,
+                         verbose: bool = False, log_fn=print, callback=None,
+                         io_budget_bytes: int = 128 << 20):
+    """Phase 2 with host-streamed minibatches; bitwise ≡ ``fit_phase2`` on
+    the same series/key (the phase-2 step always resamples)."""
+    if n_windows is None:
+        n_windows = loader.t - context
+
+    prior = None
+    if cfg.latent_reg == "cs":
+        key, k_prior = jax.random.split(key)
+        prior = init_gmm_prior(k_prior, cfg.gmm_components, model.hidden)
+
+    err_opt = optax.adam(cfg.lr_error)
+    step = make_phase2_step(model, err_model, cfg, None, parents, err_opt,
+                            stream=True)
+
+    @jax.jit
+    def run_chunk(state, batches):
+        return jax.lax.scan(step, state, batches)
+
+    state = Phase2State(params=params, err_params=err_params,
+                        err_opt=err_opt.init(err_params), prior=prior,
+                        best_params=params, best_loss=jnp.array(jnp.inf),
+                        key=key, step=jnp.zeros([], jnp.int32))
+
+    step_bytes = cfg.batch_size * context * model.p * 4
+    groups = _io_chunks(cfg.max_iter, cfg.check_every, step_bytes,
+                        io_budget_bytes)
+    flat = [length for group in groups for length in group]
+
+    mirror_key = key
+    metrics = {}
+    with ThreadPoolExecutor(1) as pool:
+        def prepare(mk, length):
+            mk, idxs = _index_chunk(mk, length, cfg.batch_size, n_windows, 4)
+            return mk, pool.submit(_gather_chunk, loader,
+                                   np.asarray(idxs, np.int64), context)
+
+        if flat:
+            mirror_key, fut = prepare(mirror_key, flat[0])
+        i = 0
+        for group in groups:
+            for _ in group:
+                batches = fut.result()
+                i += 1
+                if i < len(flat):
+                    mirror_key, fut = prepare(mirror_key, flat[i])
+                state, chunk_metrics = run_chunk(state, jnp.asarray(batches))
+            metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+            if verbose:
+                log_fn(f"[phase2 it={int(state.step)}] "
+                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+            if callback is not None:
+                callback(int(state.step), state, metrics)
+    return state.best_params, state.err_params, state, metrics
