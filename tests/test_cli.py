@@ -112,3 +112,46 @@ def test_sweep_min_frac_auto(capsys):
     assert out["seeds"] == 2
     assert 0.5 <= out["stability_min_frac"] <= 0.95
     assert 0.0 <= out["stability_selection"]["f1"] <= 1.0
+
+
+def test_run_writes_jsonl_training_log(tmp_path):
+    """With an out_dir, run_experiment streams one JSONL record per
+    check_every chunk for BOTH phases (utils.JsonlWriter integration)."""
+    import dataclasses
+
+    from vae_connexe_tpu.configs import get_experiment, run_experiment
+
+    exp = get_experiment("lorenz96_crvae")
+    run_experiment(
+        "lorenz96_crvae", out_dir=str(tmp_path), verbose=False,
+        overrides={"p": 4, "t": 200,
+                   "phase1": dataclasses.replace(
+                       exp.phase1, max_iter=20, check_every=10, batch_size=16),
+                   "phase2": dataclasses.replace(
+                       exp.phase2, max_iter=10, check_every=5, batch_size=16)})
+    path = tmp_path / "train_log_lorenz96_crvae.jsonl"
+    assert path.exists()
+    recs = [json.loads(line) for line in path.read_text().splitlines()]
+    p1 = [r for r in recs if r["phase"] == "phase1"]
+    p2 = [r for r in recs if r["phase"] == "phase2"]
+    assert [r["step"] for r in p1] == [10, 20]
+    assert [r["step"] for r in p2] == [5, 10]
+    assert all("loss" in r or "mean_loss" in r for r in recs)
+
+
+def test_debug_nans_flag(monkeypatch):
+    """--debug-nans enables jax_debug_nans before the run starts."""
+    import jax
+
+    seen = {}
+
+    def fake_run(name, **kw):
+        seen["debug_nans"] = jax.config.jax_debug_nans
+        return {}
+
+    monkeypatch.setattr("vae_connexe_tpu.configs.run_experiment", fake_run)
+    try:
+        cli.main(["run", "lorenz96_crvae", "--debug-nans", "--quiet"])
+        assert seen["debug_nans"] is True
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -31,6 +31,11 @@ def _cmd_list(args):
 def _cmd_run(args):
     from vae_connexe_tpu.configs import run_experiment
 
+    if args.debug_nans:
+        from vae_connexe_tpu.utils import enable_nan_debugging
+
+        enable_nan_debugging()
+
     overrides = {}
     if args.iters is not None:
         from vae_connexe_tpu.configs import get_experiment
@@ -214,6 +219,10 @@ def main(argv=None):
                        help="train both phases sharded over all devices "
                             "(batch over dp, decoder heads over ep; "
                             "crvae family)")
+    p_run.add_argument("--debug-nans", action="store_true", dest="debug_nans",
+                       help="trap the first NaN/Inf inside jitted code "
+                            "(jax_debug_nans; reruns the offending op "
+                            "un-jitted for a precise traceback)")
     p_run.add_argument("--out-of-core", action="store_true",
                        dest="out_of_core",
                        help="stream minibatches from a disk-backed series "

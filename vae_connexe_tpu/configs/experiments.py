@@ -300,6 +300,20 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         model = CRVAE(p=exp.p, hidden=exp.hidden)
         params = model.init(k_init)
         full = jnp.ones((exp.p, exp.p), jnp.float32)
+        log_writer = None
+        if out:
+            # Structured training log: one JSONL record per check_every
+            # chunk, both phases — the persistent counterpart of the
+            # reference's print-every-50 (``author_CRVAE.py:538-545``).
+            from vae_connexe_tpu.utils import JsonlWriter
+
+            log_writer = JsonlWriter(str(out / f"train_log_{name}.jsonl"))
+
+        def _log_phase(phase):
+            if log_writer is None:
+                return None
+            return lambda step, state, metrics: log_writer.write(
+                step, {"phase": phase, **metrics})
         loader = None
         if out_of_core:
             import tempfile
@@ -316,7 +330,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                                                   *series_np.shape)
             best, state, m1 = fit_phase1_streaming(
                 model, params, loader, exp.context, full, exp.phase1, k_run,
-                verbose=verbose, log_fn=log_fn)
+                verbose=verbose, log_fn=log_fn, callback=_log_phase("phase1"))
             # Bounded window block for the eval/figure surfaces below —
             # identical to the in-memory windows' head (gather parity is
             # pinned in tests/test_native_loader.py).
@@ -327,7 +341,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             windows, _ = arrange_input(series, exp.context)
             best, state, m1 = fit_phase1(model, params, windows, full,
                                          exp.phase1, k_run, verbose=verbose,
-                                         log_fn=log_fn, mesh=mesh)
+                                         log_fn=log_fn, mesh=mesh,
+                                         callback=_log_phase("phase1"))
         scores = model.gc(best, threshold=False)
         gc_est = model.gc(best, threshold=True)
         results["phase1"] = m1
@@ -414,18 +429,22 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                     trajectory_overlay(ori, syn,
                                        str(out / f"traj_{name}_it{step}.png"))
 
+            cbs = [c for c in (_log_phase("phase2"), callback) if c]
+            p2_cb = ((lambda step, state, metrics: [c(step, state, metrics)
+                                                    for c in cbs])
+                     if cbs else None)
             if out_of_core:
                 best2, err2, _, m2 = fit_phase2_streaming(
                     model, err_model, p2_params, err_params, loader,
                     exp.context, mask, exp.phase2, k_p2, verbose=verbose,
-                    log_fn=log_fn, callback=callback)
+                    log_fn=log_fn, callback=p2_cb)
             else:
                 best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
                                                 err_params, windows, mask,
                                                 exp.phase2, k_p2,
                                                 verbose=verbose,
                                                 log_fn=log_fn,
-                                                callback=callback, mesh=mesh)
+                                                callback=p2_cb, mesh=mesh)
             results["phase2"] = m2
             gen = generate_with_compensation(model, err_model, best2, err2,
                                              k_gen, 256, parents=mask)
@@ -479,6 +498,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 from vae_connexe_tpu.utils import save_checkpoint
                 save_checkpoint(str(out / "ckpt_phase2"),
                                 {"crvae": best2, "error_vae": err2})
+        if log_writer is not None:
+            log_writer.close()
 
     elif exp.model_family == "win":
         from vae_connexe_tpu.data import sliding_windows
