@@ -122,3 +122,31 @@ def test_run_experiment_out_of_core_matches_in_memory():
     assert r_oc["phase2"] == r_mem["phase2"]
     assert (r_oc["generation_moment_gap"]
             == r_mem["generation_moment_gap"])
+
+
+def test_streaming_composes_with_mesh(setup, eight_devices):
+    """Out-of-core feed + (dp, ep) mesh: host-gathered chunks land
+    batch-sharded over dp, heads over ep; results equal the single-device
+    streaming run (same key chain) up to reduction-order rounding."""
+    from vae_connexe_tpu.parallel import make_mesh
+    from vae_connexe_tpu.train import Phase2Config as P2
+
+    _, _, model, params, parents, loader = setup
+    mesh = make_mesh(n_dp=4, n_ep=2, devices=eight_devices)
+    cfg = Phase1Config(max_iter=25, check_every=10, batch_size=8, lam=0.1)
+    b_s, _, _ = fit_phase1_streaming(model, params, loader, CTX, parents,
+                                     cfg, jax.random.key(2))
+    b_m, _, _ = fit_phase1_streaming(model, params, loader, CTX, parents,
+                                     cfg, jax.random.key(2), mesh=mesh)
+    assert _max_diff(b_s, b_m) < 1e-5
+
+    err = ErrorVAE(d=P, hidden=16)
+    ep = err.init(jax.random.key(4))
+    cfg2 = P2(max_iter=14, check_every=7, batch_size=8)
+    b2s, e2s, _, _ = fit_phase2_streaming(model, err, params, ep, loader,
+                                          CTX, parents, cfg2,
+                                          jax.random.key(5))
+    b2m, e2m, _, _ = fit_phase2_streaming(model, err, params, ep, loader,
+                                          CTX, parents, cfg2,
+                                          jax.random.key(5), mesh=mesh)
+    assert _max_diff((b2s, e2s), (b2m, e2m)) < 1e-5

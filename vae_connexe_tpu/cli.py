@@ -227,7 +227,8 @@ def main(argv=None):
                        dest="out_of_core",
                        help="stream minibatches from a disk-backed series "
                             "via the native C++ window loader (crvae "
-                            "family); training is bitwise the in-memory run")
+                            "family); training is bitwise the in-memory run; "
+                            "composes with --mesh (chunks land dp-sharded)")
     p_run.add_argument("--ep", type=int, default=1,
                        help="ep (head-parallel) mesh size for --mesh; "
                             "dp = n_devices / ep")

@@ -266,7 +266,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
     scan chunk — the data path for series too long for HBM.  Training is
     bitwise the in-memory run (``train/streaming.py``); eval/figure surfaces
     that need a window block use the first ``min(4096, n)`` windows (at the
-    committed configs that is all of them).
+    committed configs that is all of them).  Composes with ``mesh``: each
+    streamed chunk lands batch-sharded over dp.
     """
     exp = get_experiment(name)
     if mesh is not None and exp.model_family != "crvae":
@@ -277,9 +278,6 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         raise ValueError(
             f"--out-of-core supports the crvae family (streaming trainers); "
             f"{name!r} is {exp.model_family!r}")
-    if out_of_core and mesh is not None:
-        raise ValueError("--out-of-core and --mesh are mutually exclusive: "
-                         "the streaming feed targets one host's device")
     if overrides:
         exp = dataclasses.replace(exp, **overrides)
     key = jax.random.key(seed)
@@ -330,7 +328,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                                                   *series_np.shape)
             best, state, m1 = fit_phase1_streaming(
                 model, params, loader, exp.context, full, exp.phase1, k_run,
-                verbose=verbose, log_fn=log_fn, callback=_log_phase("phase1"))
+                verbose=verbose, log_fn=log_fn, callback=_log_phase("phase1"),
+                mesh=mesh)
             # Bounded window block for the eval/figure surfaces below —
             # identical to the in-memory windows' head (gather parity is
             # pinned in tests/test_native_loader.py).
@@ -437,7 +436,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 best2, err2, _, m2 = fit_phase2_streaming(
                     model, err_model, p2_params, err_params, loader,
                     exp.context, mask, exp.phase2, k_p2, verbose=verbose,
-                    log_fn=log_fn, callback=p2_cb)
+                    log_fn=log_fn, callback=p2_cb, mesh=mesh)
             else:
                 best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
                                                 err_params, windows, mask,

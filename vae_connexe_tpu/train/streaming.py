@@ -86,12 +86,26 @@ def _gather_chunk(loader: NativeWindowLoader, idxs: np.ndarray,
     return flat.reshape(length, batch, context, loader.p)
 
 
+def _mesh_shardings(mesh, model_p: int, batch_size: int):
+    """(replicated, per-step batch P('dp'), chunk P(None,'dp')) shardings for
+    a meshed streaming fit — the host-fed (length, B, ctx, p) block lands
+    batch-sharded over dp, so each device ingests only its slice."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_connexe_tpu.parallel.sharded import check_mesh_divisibility
+
+    check_mesh_divisibility(mesh, model_p, batch_size)
+    return (NamedSharding(mesh, P()),
+            NamedSharding(mesh, P("dp")),
+            NamedSharding(mesh, P(None, "dp")))
+
+
 def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                          loader: NativeWindowLoader, context: int,
                          parents: jax.Array, cfg: Phase1Config,
                          key: jax.Array, n_windows: Optional[int] = None,
                          verbose: bool = False, log_fn=print, callback=None,
-                         io_budget_bytes: int = 128 << 20):
+                         io_budget_bytes: int = 128 << 20, mesh=None):
     """Phase 1 with host-streamed minibatches; bitwise ≡ ``fit_phase1`` run
     on ``arrange_input(series, context)[0]`` of the same series and key.
 
@@ -99,6 +113,13 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
     window count the in-memory fit samples from (its windows carry one extra
     trailing step of lookahead for the shifted-target variant; the CRVAE
     trainers never index it).
+
+    ``mesh`` (a (dp, ep) ``jax.sharding.Mesh``) runs the same streamed loop
+    mesh-sharded: each host-gathered chunk lands batch-sharded over dp (one
+    device ingests only its B/dp slice), decoder heads shard over ep, and
+    the training state lives on the mesh across chunks — the out-of-core
+    feed composed with the distributed fit (equal to the single-device
+    streaming run up to reduction-order rounding).
     """
     if n_windows is None:
         n_windows = loader.t - context
@@ -108,6 +129,15 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
         key, k_prior = jax.random.split(key)
         prior = init_gmm_prior(k_prior, cfg.gmm_components, model.hidden)
 
+    rep = batch_shard = chunk_shard = state_shard = None
+    if mesh is not None:
+        from vae_connexe_tpu.parallel.sharded import phase1_state_sharding
+
+        rep, batch_shard, chunk_shard = _mesh_shardings(
+            mesh, model.p, cfg.batch_size)
+        state_shard = phase1_state_sharding(mesh, prior is not None)
+        parents = jax.device_put(parents, rep)
+
     if not cfg.resample_batches:
         # Fixed-batch parity mode: one host gather up front, then the scan
         # runs without xs exactly like the in-memory fixed-batch fit.
@@ -115,21 +145,35 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
         idx = np.asarray(jax.random.randint(k_fix, (cfg.batch_size,), 0,
                                             n_windows), np.int64)
         fixed = jnp.asarray(loader.gather(idx, context))
-        step = make_phase1_step(model, cfg, None, parents, fixed_batch=fixed)
+        if mesh is not None:
+            fixed = jax.device_put(fixed, batch_shard)
+        step = make_phase1_step(model, cfg, None, parents, fixed_batch=fixed,
+                                batch_sharding=batch_shard)
 
-        @functools.partial(jax.jit, static_argnames=("length",))
+        jit_kw = ({} if mesh is None else
+                  dict(in_shardings=(state_shard,),
+                       out_shardings=(state_shard, rep)))
+
+        @functools.partial(jax.jit, static_argnames=("length",), **jit_kw)
         def run_fixed(state, length):
             return jax.lax.scan(step, state, None, length=length)
     else:
-        step = make_phase1_step(model, cfg, None, parents, stream=True)
+        step = make_phase1_step(model, cfg, None, parents, stream=True,
+                                batch_sharding=batch_shard)
 
-        @jax.jit
+        jit_kw = ({} if mesh is None else
+                  dict(in_shardings=(state_shard, chunk_shard),
+                       out_shardings=(state_shard, rep)))
+
+        @functools.partial(jax.jit, **jit_kw)
         def run_chunk(state, batches):
             return jax.lax.scan(step, state, batches)
 
     state = Phase1State(params=params, prior=prior, best_params=params,
                         best_loss=jnp.array(jnp.inf), key=key,
                         step=jnp.zeros([], jnp.int32))
+    if mesh is not None:
+        state = jax.device_put(state, state_shard)
 
     metrics = {}
     if not cfg.resample_batches:
@@ -164,7 +208,9 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                 i += 1
                 if i < len(flat):
                     mirror_key, fut = prepare(mirror_key, flat[i])
-                state, chunk_metrics = run_chunk(state, jnp.asarray(batches))
+                # Host np block in, jit places it per in_shardings (batch
+                # axis over dp on a mesh; device 0 otherwise).
+                state, chunk_metrics = run_chunk(state, batches)
             metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
             if verbose:
                 log_fn(f"[phase1 it={int(state.step)}] "
@@ -180,9 +226,11 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
                          parents: jax.Array, cfg: Phase2Config,
                          key: jax.Array, n_windows: Optional[int] = None,
                          verbose: bool = False, log_fn=print, callback=None,
-                         io_budget_bytes: int = 128 << 20):
+                         io_budget_bytes: int = 128 << 20, mesh=None):
     """Phase 2 with host-streamed minibatches; bitwise ≡ ``fit_phase2`` on
-    the same series/key (the phase-2 step always resamples)."""
+    the same series/key (the phase-2 step always resamples).  ``mesh`` as in
+    ``fit_phase1_streaming`` (chunk batches land dp-sharded; the error VAE
+    stays replicated, its gradients psum over dp)."""
     if n_windows is None:
         n_windows = loader.t - context
 
@@ -191,11 +239,24 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
         key, k_prior = jax.random.split(key)
         prior = init_gmm_prior(k_prior, cfg.gmm_components, model.hidden)
 
+    rep = batch_shard = chunk_shard = state_shard = None
+    if mesh is not None:
+        from vae_connexe_tpu.parallel.sharded import phase2_state_sharding
+
+        rep, batch_shard, chunk_shard = _mesh_shardings(
+            mesh, model.p, cfg.batch_size)
+        state_shard = phase2_state_sharding(mesh, prior is not None)
+        parents = jax.device_put(parents, rep)
+
     err_opt = optax.adam(cfg.lr_error)
     step = make_phase2_step(model, err_model, cfg, None, parents, err_opt,
-                            stream=True)
+                            stream=True, batch_sharding=batch_shard)
 
-    @jax.jit
+    jit_kw = ({} if mesh is None else
+              dict(in_shardings=(state_shard, chunk_shard),
+                   out_shardings=(state_shard, rep)))
+
+    @functools.partial(jax.jit, **jit_kw)
     def run_chunk(state, batches):
         return jax.lax.scan(step, state, batches)
 
@@ -203,6 +264,8 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
                         err_opt=err_opt.init(err_params), prior=prior,
                         best_params=params, best_loss=jnp.array(jnp.inf),
                         key=key, step=jnp.zeros([], jnp.int32))
+    if mesh is not None:
+        state = jax.device_put(state, state_shard)
 
     step_bytes = cfg.batch_size * context * model.p * 4
     groups = _io_chunks(cfg.max_iter, cfg.check_every, step_bytes,
@@ -226,7 +289,9 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
                 i += 1
                 if i < len(flat):
                     mirror_key, fut = prepare(mirror_key, flat[i])
-                state, chunk_metrics = run_chunk(state, jnp.asarray(batches))
+                # Host np block in, jit places it per in_shardings (batch
+                # axis over dp on a mesh; device 0 otherwise).
+                state, chunk_metrics = run_chunk(state, batches)
             metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
             if verbose:
                 log_fn(f"[phase2 it={int(state.step)}] "
