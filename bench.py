@@ -353,13 +353,16 @@ def bench_stream(args):
         # fit's metric fetch already synced the chunk; timestamp the boundary.
         marks.append((step, time.perf_counter(), metrics["loss"]))
 
+    io_stats = {}
     fit_phase1_streaming(model, params, loader, args.context, parents, cfg,
-                         jax.random.key(2), callback=callback)
+                         jax.random.key(2), callback=callback,
+                         io_stats=io_stats)
     timed = [m for m in marks if m[0] >= warmup_steps]
     steps = timed[-1][0] - timed[0][0]
     dt = timed[-1][1] - timed[0][1]
     steps_per_sec = steps / dt
     feed_bytes = args.batch * args.context * args.p * 4
+    total_wall = marks[-1][1] - marks[0][1] if len(marks) > 1 else dt
 
     device = jax.devices()[0]
     out = {
@@ -372,6 +375,11 @@ def bench_stream(args):
         "final_loss": timed[-1][2],
         "host_feed_mb_per_step": round(feed_bytes / 2**20, 3),
         "host_feed_gbps": round(steps_per_sec * feed_bytes / 1e9, 3),
+        # Wall time blocked waiting for the next host gather, as % of the
+        # post-first-chunk wall: ~0 means the prefetch thread fully hides
+        # the C++ gather behind device compute.
+        "io_stall_pct": round(100 * io_stats.get("gather_wait_s", 0.0)
+                              / max(total_wall, 1e-9), 2),
     }
     flops, hbm = phase1_flops_bytes(args.p, args.hidden, args.batch,
                                     args.context)

@@ -25,6 +25,7 @@ large ``check_every`` is.
 from __future__ import annotations
 
 import functools
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
@@ -105,9 +106,14 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                          parents: jax.Array, cfg: Phase1Config,
                          key: jax.Array, n_windows: Optional[int] = None,
                          verbose: bool = False, log_fn=print, callback=None,
-                         io_budget_bytes: int = 128 << 20, mesh=None):
+                         io_budget_bytes: int = 128 << 20, mesh=None,
+                         io_stats: Optional[dict] = None):
     """Phase 1 with host-streamed minibatches; bitwise ≡ ``fit_phase1`` run
     on ``arrange_input(series, context)[0]`` of the same series and key.
+
+    ``io_stats``, if given, is filled with prefetch accounting:
+    ``gather_wait_s`` (wall time the loop blocked on the next host block —
+    ~0 when the C++ gather fully hides behind device compute) and ``chunks``.
 
     ``n_windows`` defaults to ``loader.t - context`` — the ``arrange_input``
     window count the in-memory fit samples from (its windows carry one extra
@@ -193,6 +199,7 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
     flat = [length for group in groups for length in group]
 
     mirror_key = key
+    gather_wait = 0.0
     with ThreadPoolExecutor(1) as pool:
         def prepare(mk, length):
             mk, idxs = _index_chunk(mk, length, cfg.batch_size, n_windows, 3)
@@ -204,7 +211,9 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
         i = 0
         for group in groups:
             for _ in group:
+                t0 = time.perf_counter()
                 batches = fut.result()
+                gather_wait += time.perf_counter() - t0
                 i += 1
                 if i < len(flat):
                     mirror_key, fut = prepare(mirror_key, flat[i])
@@ -217,6 +226,8 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                        + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
             if callback is not None:
                 callback(int(state.step), state, metrics)
+    if io_stats is not None:
+        io_stats.update(gather_wait_s=gather_wait, chunks=len(flat))
     return state.best_params, state, metrics
 
 
