@@ -32,3 +32,4 @@ functions inside one jitted train step, and scale-out via
 __version__ = "0.1.0"
 
 from vae_connexe_tpu import data, evals, losses, models, ops, optim, parallel, train, utils  # noqa: F401
+from vae_connexe_tpu.discover import DiscoveryResult, discover  # noqa: F401

@@ -3,13 +3,16 @@
 Subcommands:
   run        execute a named experiment end to end (train + eval + artifacts)
   list       show available experiments
+  discover   Granger-causal discovery on YOUR data (.npy/.csv/...)
   sweep      vmapped multi-seed phase-1 causal-discovery sweep
+  eval       evaluate / generate from a saved checkpoint
   bench      the headline throughput benchmark (same as repo-root bench.py)
 
 Examples:
   python -m vae_connexe_tpu.cli list
   python -m vae_connexe_tpu.cli run lorenz96_crvae --iters 500 --no-phase2
   python -m vae_connexe_tpu.cli run lorenz96_xl --mesh --ep 2   # sharded fit
+  python -m vae_connexe_tpu.cli discover my_series.csv --seeds 8 --out-dir out/
   python -m vae_connexe_tpu.cli sweep --p 10 --seeds 8 --iters 1000
 """
 
@@ -99,6 +102,71 @@ def _cmd_sweep(args):
         "stability_min_frac": min_frac,
         "stability_selection": {k: float(v) for k, v in stab.items()},
     }, indent=2))
+
+
+def _cmd_discover(args):
+    """Granger-causal discovery on a user-supplied series file."""
+    import pathlib
+
+    import numpy as np
+
+    from vae_connexe_tpu.data.io import load_series
+    from vae_connexe_tpu.discover import discover
+
+    shape = tuple(args.shape) if args.shape else None
+    series, names = load_series(args.data, shape=shape,
+                                delimiter=args.delimiter)
+    threshold = args.threshold if args.threshold == "auto" \
+        else float(args.threshold)
+    min_frac = args.min_frac if args.min_frac == "auto" \
+        else float(args.min_frac)
+    mesh = None
+    if args.mesh:
+        from vae_connexe_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_ep=args.ep)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+              file=sys.stderr)
+    res = discover(series, context=args.context, hidden=args.hidden,
+                   enc_len=args.enc_len,
+                   lam=args.lam, lr=args.lr, max_iter=args.iters,
+                   batch_size=args.batch, seeds=args.seeds, seed=args.seed,
+                   threshold=threshold, min_frac=min_frac,
+                   standardize=not args.no_standardize,
+                   generate=args.generate, phase2_iters=args.phase2_iters,
+                   names=names, mesh=mesh, verbose=not args.quiet,
+                   log_fn=lambda *a: print(*a, file=sys.stderr))
+
+    summary = {
+        "data": args.data,
+        "shape": list(series.shape),
+        "variables": names,
+        "seeds": args.seeds,
+        "threshold": res.threshold,
+        "n_edges": int(res.gc.sum()),
+        "edges": [{"cause": c, "effect": e, "score": s}
+                  for c, e, s in res.edges()],
+        "metrics": res.metrics,
+    }
+    if args.out_dir:
+        out = pathlib.Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        stem = pathlib.Path(args.data).stem
+        np.save(out / f"GC_{stem}.npy", res.gc)
+        np.save(out / f"GC_scores_{stem}.npy", res.scores)
+        if res.votes is not None:
+            np.save(out / f"GC_votes_{stem}.npy", res.votes)
+        if res.samples is not None:
+            np.save(out / f"generated_{stem}.npy", res.samples)
+        from vae_connexe_tpu.evals.viz import discovery_heatmap
+
+        fig = out / f"discovery_{stem}.png"
+        discovery_heatmap(res.scores, res.gc, str(fig), names=names,
+                          threshold=res.threshold)
+        with open(out / f"discovery_{stem}.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        summary["artifacts"] = str(out)
+    print(json.dumps(summary, indent=2))
 
 
 def _cmd_eval(args):
@@ -252,6 +320,54 @@ def main(argv=None):
     p_sw.add_argument("--mesh", action="store_true",
                       help="shard the seed axis over the device mesh")
     p_sw.set_defaults(fn=_cmd_sweep)
+
+    p_d = sub.add_parser(
+        "discover",
+        help="Granger-causal discovery on YOUR time series "
+             "(.npy/.npz/.csv/.tsv/.txt/raw-f32)")
+    p_d.add_argument("data", help="series file: rows = time steps, columns "
+                                  "= variables; (T, p) or (N, T, p)")
+    p_d.add_argument("--context", type=int, default=20,
+                     help="lag window length (how far back causes may act)")
+    p_d.add_argument("--hidden", type=int, default=64)
+    p_d.add_argument("--enc-len", type=int, default=None, dest="enc_len",
+                     help="encoder read length per window "
+                          "(default: context // 2)")
+    p_d.add_argument("--lam", type=float, default=0.1,
+                     help="group-lasso strength; larger = sparser graph")
+    p_d.add_argument("--lr", type=float, default=5e-2)
+    p_d.add_argument("--iters", type=int, default=2000)
+    p_d.add_argument("--batch", type=int, default=256)
+    p_d.add_argument("--seeds", type=int, default=1,
+                     help=">1: vmapped multi-seed sweep + stability-"
+                          "selection voting instead of a single-run "
+                          "threshold")
+    p_d.add_argument("--seed", type=int, default=0)
+    p_d.add_argument("--threshold", default="auto",
+                     help="score threshold (seeds=1): float or 'auto'")
+    p_d.add_argument("--min-frac", default="auto", dest="min_frac",
+                     help="vote threshold (seeds>1): float in [0,1] or 'auto'")
+    p_d.add_argument("--no-standardize", action="store_true",
+                     dest="no_standardize",
+                     help="skip per-variable z-scoring of the input")
+    p_d.add_argument("--generate", type=int, default=0, metavar="BATCH",
+                     help="also train phase 2 on the selected graph and "
+                          "sample BATCH synthetic rollouts")
+    p_d.add_argument("--phase2-iters", type=int, default=None,
+                     dest="phase2_iters")
+    p_d.add_argument("--shape", type=int, nargs="+", default=None,
+                     help="shape for raw float32 files, e.g. --shape 8192 20")
+    p_d.add_argument("--delimiter", default=None,
+                     help="text-file delimiter override")
+    p_d.add_argument("--out-dir", default=None,
+                     help="write GC/scores/votes .npy, the discovery "
+                          "heatmap and a JSON summary here")
+    p_d.add_argument("--mesh", action="store_true",
+                     help="shard over all devices (batch over dp — or the "
+                          "seed axis when --seeds > 1)")
+    p_d.add_argument("--ep", type=int, default=1)
+    p_d.add_argument("--quiet", action="store_true")
+    p_d.set_defaults(fn=_cmd_discover)
 
     p_e = sub.add_parser("eval", help="evaluate / generate from a checkpoint")
     p_e.add_argument("experiment", help="experiment name (model geometry)")

@@ -52,6 +52,49 @@ def gc_heatmaps(gc_true: np.ndarray, gc_est: np.ndarray, path: str,
     plt.close(fig)
 
 
+def discovery_heatmap(scores: np.ndarray, selected: np.ndarray, path: str,
+                      names: Optional[list] = None,
+                      threshold: Optional[float] = None) -> None:
+    """Score + selected-graph heatmap pair for truth-less discovery runs.
+
+    The reference's heatmap ritual needs a ground-truth matrix to compare
+    against (``author_CRVAE.py:763-784``); on user data there is none, so
+    this renders the continuous edge strengths next to the binarized
+    selection, selected edges outlined, with variable names on the axes
+    when the input file carried a header.
+    """
+    plt = _mpl()
+    scores = np.asarray(scores)
+    selected = np.asarray(selected)
+    n = len(scores)
+    fig, axarr = plt.subplots(1, 2, figsize=(11, 5))
+    im = axarr[0].imshow(scores, cmap="viridis")
+    fig.colorbar(im, ax=axarr[0], fraction=0.046)
+    title = "Edge strengths"
+    if threshold is not None:
+        title += f" (threshold {threshold:.3g})"
+    axarr[0].set_title(title)
+    axarr[1].imshow(selected, cmap="Blues", vmin=0, vmax=1)
+    axarr[1].set_title(f"Selected graph ({int(selected.sum())} edges)")
+    for ax in axarr:
+        ax.set_ylabel("Effect series")
+        ax.set_xlabel("Causal series")
+        if names is not None and n <= 32:
+            ax.set_xticks(range(n), names, rotation=90, fontsize=7)
+            ax.set_yticks(range(n), names, fontsize=7)
+        else:
+            ax.set_xticks([])
+            ax.set_yticks([])
+    for i in range(n):
+        for j in range(n):
+            if selected[i, j]:
+                axarr[1].add_patch(plt.Rectangle(
+                    (j - 0.5, i - 0.5), 1, 1, facecolor="none",
+                    edgecolor="black", linewidth=0.6))
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def _window_means(data: np.ndarray) -> np.ndarray:
     """(N, T, D) -> (N, T) per-window feature means, the reference's prep."""
     return np.mean(np.asarray(data), axis=2)
