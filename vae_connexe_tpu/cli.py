@@ -6,6 +6,8 @@ Subcommands:
   discover   Granger-causal discovery on YOUR data (.npy/.csv/...)
   sweep      vmapped multi-seed phase-1 causal-discovery sweep
   eval       evaluate / generate from a saved checkpoint
+  export     phase-2 checkpoint -> self-contained StableHLO serving artifact
+  generate   sample from an exported artifact (no model code needed)
   bench      the headline throughput benchmark (same as repo-root bench.py)
 
 Examples:
@@ -248,6 +250,52 @@ def _cmd_eval(args):
     print(json.dumps(results, indent=2))
 
 
+def _cmd_export(args):
+    """Export a phase-2 checkpoint as a self-contained serving artifact."""
+    import pathlib
+
+    import jax
+
+    from vae_connexe_tpu.configs import get_experiment
+    from vae_connexe_tpu.models import CRVAE, ErrorVAE
+    from vae_connexe_tpu.serving import export_generator
+    from vae_connexe_tpu.utils import restore_checkpoint
+
+    exp = get_experiment(args.experiment)
+    if exp.model_family != "crvae":
+        sys.exit(f"export supports the crvae family; {args.experiment!r} "
+                 f"is {exp.model_family!r}")
+    model = CRVAE(p=exp.p, hidden=exp.hidden)
+    err_model = ErrorVAE(d=exp.p, hidden=exp.hidden)
+    target = {"crvae": model.init(jax.random.key(0)),
+              "error_vae": err_model.init(jax.random.key(0))}
+    ckpt = restore_checkpoint(args.checkpoint, target)
+    blob = export_generator(model, err_model, ckpt["crvae"],
+                            ckpt["error_vae"], batch=args.batch,
+                            length=args.length,
+                            platforms=args.platforms)
+    pathlib.Path(args.out).write_bytes(blob)
+    print(json.dumps({"artifact": args.out, "bytes": len(blob),
+                      "batch": args.batch,
+                      "platforms": args.platforms or ["default"]}, indent=2))
+
+
+def _cmd_generate(args):
+    """Sample from an exported serving artifact (no model code needed)."""
+    import numpy as np
+
+    from vae_connexe_tpu.serving import load_generator
+
+    fn, meta = load_generator(args.artifact)
+    samples = fn(args.seed)
+    result = {"artifact": args.artifact, "meta": meta, "seed": args.seed,
+              "shape": list(samples.shape)}
+    if args.out:
+        np.save(args.out, samples)
+        result["saved"] = args.out
+    print(json.dumps(result, indent=2))
+
+
 def _cmd_bench(args):
     import pathlib
     import runpy
@@ -377,6 +425,26 @@ def main(argv=None):
                      help="also sample BATCH free-running rollouts")
     p_e.add_argument("--out", default=None, help=".npy path for samples")
     p_e.set_defaults(fn=_cmd_eval)
+
+    p_x = sub.add_parser("export", help="export a phase-2 checkpoint as a "
+                                        "self-contained StableHLO artifact")
+    p_x.add_argument("experiment", help="experiment name (model geometry)")
+    p_x.add_argument("checkpoint", help="ckpt_phase2 dir from run "
+                                        "--save-checkpoints")
+    p_x.add_argument("--out", required=True, help="artifact path (.vcx)")
+    p_x.add_argument("--batch", type=int, default=64,
+                     help="rollouts per call (baked into the artifact)")
+    p_x.add_argument("--length", type=int, default=None,
+                     help="rollout length override")
+    p_x.add_argument("--platforms", nargs="+", default=None,
+                     help="lowering targets, e.g. --platforms cpu tpu")
+    p_x.set_defaults(fn=_cmd_export)
+
+    p_g = sub.add_parser("generate", help="sample from an exported artifact")
+    p_g.add_argument("artifact", help=".vcx path from cli export")
+    p_g.add_argument("--seed", type=int, default=0)
+    p_g.add_argument("--out", default=None, help=".npy path for samples")
+    p_g.set_defaults(fn=_cmd_generate)
 
     p_b = sub.add_parser("bench", help="headline throughput benchmark")
     p_b.add_argument("--quick", action="store_true")

@@ -1,0 +1,122 @@
+"""Serialized serving artifacts via ``jax.export`` (StableHLO).
+
+The reference has no deployment story at all — generation means re-running
+a notebook with the weights still in memory (SURVEY.md §5: no
+``torch.save`` anywhere).  Here a trained generator exports to a single
+self-contained artifact: the compensated free-running rollout
+(``author_CRVAE.py:682-684`` + ``:284-286``) lowered to StableHLO with the
+weights baked in, callable from any later process — **without the model
+code** — and lowerable for multiple platforms at once (a CPU host process
+can emit a TPU artifact and vice versa).
+
+    blob = export_generator(model, err_model, params, err_params, batch=64)
+    pathlib.Path("gen.vcx").write_bytes(blob)
+    # ... later, anywhere:
+    fn, meta = load_generator("gen.vcx")
+    samples = fn(seed=0)          # (64, rollout_len, p), deterministic
+
+Artifact layout: 8-byte magic ``VCXEXPT1`` + uint32 header length + JSON
+header (shapes, platforms, model geometry) + the ``jax.export``
+serialization.  The exported entry takes an int32 seed scalar (not a PRNG
+key array) so the calling convention survives PRNG-implementation changes.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import struct
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAGIC = b"VCXEXPT1"
+
+
+def _generation_fn(model, err_model, params, err_params, batch: int,
+                   parents, length: Optional[int]):
+    """seed -> samples; splits the key exactly as
+    ``train.generate_with_compensation`` does, so the exported artifact and
+    the in-process call with ``jax.random.key(seed)`` produce identical
+    samples (pinned in ``tests/test_serving.py``)."""
+    steps = model.rollout_len if length is None else length
+
+    def fn(seed):
+        key = jax.random.key(seed)
+        k_e, k_r = jax.random.split(key)
+        # ErrorVAE.sample emits one step more than asked (the reference's
+        # 21-from-20 convention); slice exactly as the trainer does.
+        noise = err_model.sample(err_params, k_e, batch, steps)
+        return model.rollout(params, k_r, batch, noise=noise[:, :steps],
+                             parents=parents, length=steps)
+
+    return fn, steps
+
+
+def export_generator(model, err_model, params, err_params, *, batch: int,
+                     parents=None, length: Optional[int] = None,
+                     platforms: Optional[list[str]] = None) -> bytes:
+    """Export the compensated generator as a self-contained artifact.
+
+    Args:
+      model / err_model: the trained ``CRVAE`` + ``ErrorVAE`` pair.
+      params / err_params: their (phase-2) parameters — baked into the
+        artifact as constants.
+      batch: rollouts per call (static; XLA specializes to it).
+      parents: optional (p, p) binary mask to re-project the heads with
+        (phase-2 weights are already mask-projected, so this is defensive).
+      length: rollout length override (default ``model.rollout_len``).
+      platforms: lowering targets, e.g. ``["cpu", "tpu"]``; default = the
+        current default backend only.
+
+    Returns the artifact bytes (write them to a file; ``load_generator``
+    reads them back anywhere).
+    """
+    fn, steps = _generation_fn(model, err_model, params, err_params, batch,
+                               None if parents is None else jnp.asarray(
+                                   parents, jnp.float32), length)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax.export.export(jax.jit(fn), **kwargs)(
+        jax.ShapeDtypeStruct((), jnp.int32))
+    blob = exported.serialize()
+    header = json.dumps({
+        "kind": "crvae_compensated_generator",
+        "batch": batch,
+        "rollout_len": steps,
+        "p": model.p,
+        "hidden": model.hidden,
+        "noise_scale": model.noise_scale,
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }).encode()
+    return _MAGIC + struct.pack("<I", len(header)) + header + blob
+
+
+def load_generator(source):
+    """Load an exported generator artifact.
+
+    ``source``: a path or the artifact bytes.  Returns ``(fn, meta)`` where
+    ``fn(seed) -> np.ndarray`` of shape (batch, rollout_len, p) and ``meta``
+    is the artifact header dict.  Needs only jax — no model code, no
+    checkpoint, no framework state.
+    """
+    if isinstance(source, (str, pathlib.Path)):
+        data = pathlib.Path(source).read_bytes()
+    else:
+        data = bytes(source)
+    if data[:8] != _MAGIC:
+        raise ValueError(
+            "not a vae_connexe_tpu generator artifact (bad magic; expected "
+            f"{_MAGIC!r})")
+    (hlen,) = struct.unpack("<I", data[8:12])
+    meta = json.loads(data[12:12 + hlen].decode())
+    exported = jax.export.deserialize(data[12 + hlen:])
+
+    def fn(seed: int) -> np.ndarray:
+        return np.asarray(exported.call(jnp.asarray(seed, jnp.int32)))
+
+    return fn, meta
