@@ -105,6 +105,20 @@ def _chunk_lengths(max_iter: int, check_every: int) -> list[int]:
     return [check_every] * full + ([rem] if rem else [])
 
 
+def _copy_tree(tree):
+    """Fresh device buffers for every leaf.
+
+    The chunked fit loops donate their state to the jitted chunk
+    (``donate_argnums``) so XLA reuses the state's buffers in place instead
+    of double-buffering params + best-params across chunk calls.  The
+    initial state must therefore not alias caller-owned arrays (callers
+    reuse their ``params`` after a fit — e.g. to launch the meshed and
+    single-device fits from one init), nor reference one buffer twice
+    (``params`` and ``best_params`` both start from the same pytree).
+    """
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+
 def _track_best(state, candidate_params, mean_loss):
     """Snapshot ``candidate_params`` when ``mean_loss`` improves.
 
@@ -234,12 +248,14 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
 
     step = make_phase1_step(model, cfg, windows, parents, fixed_batch,
                             batch_sharding=batch_sharding)
-    state = Phase1State(params=params, prior=prior, best_params=params,
+    state = Phase1State(params=_copy_tree(params), prior=prior,
+                        best_params=_copy_tree(params),
                         best_loss=jnp.array(jnp.inf), key=key,
                         step=jnp.zeros([], jnp.int32))
 
     if mesh is None:
-        @functools.partial(jax.jit, static_argnames=("length",))
+        @functools.partial(jax.jit, static_argnames=("length",),
+                           donate_argnums=(0,))
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
     else:
@@ -248,7 +264,8 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
 
         @functools.partial(jax.jit, static_argnames=("length",),
                            in_shardings=(state_shard,),
-                           out_shardings=(state_shard, rep))
+                           out_shardings=(state_shard, rep),
+                           donate_argnums=(0,))
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
 
@@ -369,13 +386,16 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
     err_opt = optax.adam(cfg.lr_error)
     step = make_phase2_step(model, err_model, cfg, windows, parents, err_opt,
                             batch_sharding=batch_sharding)
-    state = Phase2State(params=params, err_params=err_params,
+    err_params = _copy_tree(err_params)
+    state = Phase2State(params=_copy_tree(params), err_params=err_params,
                         err_opt=err_opt.init(err_params), prior=prior,
-                        best_params=params, best_loss=jnp.array(jnp.inf),
+                        best_params=_copy_tree(params),
+                        best_loss=jnp.array(jnp.inf),
                         key=key, step=jnp.zeros([], jnp.int32))
 
     if mesh is None:
-        @functools.partial(jax.jit, static_argnames=("length",))
+        @functools.partial(jax.jit, static_argnames=("length",),
+                           donate_argnums=(0,))
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
     else:
@@ -384,7 +404,8 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
 
         @functools.partial(jax.jit, static_argnames=("length",),
                            in_shardings=(state_shard,),
-                           out_shardings=(state_shard, rep))
+                           out_shardings=(state_shard, rep),
+                           donate_argnums=(0,))
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
 

@@ -43,6 +43,7 @@ from vae_connexe_tpu.train.crvae_trainer import (
     Phase1State,
     Phase2State,
     _chunk_lengths,
+    _copy_tree,
     make_phase1_step,
     make_phase2_step,
 )
@@ -160,7 +161,8 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                   dict(in_shardings=(state_shard,),
                        out_shardings=(state_shard, rep)))
 
-        @functools.partial(jax.jit, static_argnames=("length",), **jit_kw)
+        @functools.partial(jax.jit, static_argnames=("length",),
+                           donate_argnums=(0,), **jit_kw)
         def run_fixed(state, length):
             return jax.lax.scan(step, state, None, length=length)
     else:
@@ -171,11 +173,12 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                   dict(in_shardings=(state_shard, chunk_shard),
                        out_shardings=(state_shard, rep)))
 
-        @functools.partial(jax.jit, **jit_kw)
+        @functools.partial(jax.jit, donate_argnums=(0,), **jit_kw)
         def run_chunk(state, batches):
             return jax.lax.scan(step, state, batches)
 
-    state = Phase1State(params=params, prior=prior, best_params=params,
+    state = Phase1State(params=_copy_tree(params), prior=prior,
+                        best_params=_copy_tree(params),
                         best_loss=jnp.array(jnp.inf), key=key,
                         step=jnp.zeros([], jnp.int32))
     if mesh is not None:
@@ -267,13 +270,15 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
               dict(in_shardings=(state_shard, chunk_shard),
                    out_shardings=(state_shard, rep)))
 
-    @functools.partial(jax.jit, **jit_kw)
+    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kw)
     def run_chunk(state, batches):
         return jax.lax.scan(step, state, batches)
 
-    state = Phase2State(params=params, err_params=err_params,
+    err_params = _copy_tree(err_params)
+    state = Phase2State(params=_copy_tree(params), err_params=err_params,
                         err_opt=err_opt.init(err_params), prior=prior,
-                        best_params=params, best_loss=jnp.array(jnp.inf),
+                        best_params=_copy_tree(params),
+                        best_loss=jnp.array(jnp.inf),
                         key=key, step=jnp.zeros([], jnp.int32))
     if mesh is not None:
         state = jax.device_put(state, state_shard)
