@@ -184,6 +184,38 @@ class TestDiscover:
                      threshold=1e9, generate=4)
 
 
+class TestDiscoverWinFamily:
+    def test_win_single_seed(self, var_series):
+        series, truth = var_series
+        res = discover(series, context=10, max_iter=120, batch_size=128,
+                       family="win")
+        assert res.scores.shape == truth.shape
+        assert set(np.unique(res.gc)) <= {0, 1}
+        assert np.isfinite(res.scores).all()
+        # W_in norms: diagonal (self) rows dominate in a VAR(1) process.
+        assert res.scores.diagonal().mean() > np.median(res.scores)
+
+    def test_win_stability_and_generate(self, var_series):
+        series, truth = var_series
+        res = discover(series, context=10, max_iter=80, batch_size=128,
+                       family="win", prox="element", seeds=3, generate=6)
+        assert res.votes is not None and res.votes.shape == truth.shape
+        assert res.seed_scores.shape == (3,) + truth.shape
+        # win generation conditions on 2τ windows of the series.
+        assert res.samples.shape == (6, 10, series.shape[1])
+        assert np.isfinite(res.samples).all()
+
+    def test_family_validation(self, var_series):
+        series, _ = var_series
+        with pytest.raises(ValueError, match="family"):
+            discover(series, context=10, max_iter=10, family="mystery")
+        with pytest.raises(ValueError, match="win"):
+            discover(series, context=10, max_iter=10, prox="row")
+        with pytest.raises(ValueError, match="mesh"):
+            discover(series, context=10, max_iter=10, family="win",
+                     mesh=object())
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------

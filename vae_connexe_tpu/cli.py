@@ -135,6 +135,7 @@ def _cmd_discover(args):
                    batch_size=args.batch, seeds=args.seeds, seed=args.seed,
                    threshold=threshold, min_frac=min_frac,
                    standardize=not args.no_standardize,
+                   family=args.family, prox=args.prox, latent=args.latent,
                    generate=args.generate, phase2_iters=args.phase2_iters,
                    names=names, mesh=mesh, verbose=not args.quiet,
                    log_fn=lambda *a: print(*a, file=sys.stderr))
@@ -143,6 +144,7 @@ def _cmd_discover(args):
         "data": args.data,
         "shape": list(series.shape),
         "variables": names,
+        "family": args.family,
         "seeds": args.seeds,
         "threshold": res.threshold,
         "n_edges": int(res.gc.sum()),
@@ -383,7 +385,16 @@ def main(argv=None):
                           "(default: context // 2)")
     p_d.add_argument("--lam", type=float, default=0.1,
                      help="group-lasso strength; larger = sparser graph")
-    p_d.add_argument("--lr", type=float, default=5e-2)
+    p_d.add_argument("--lr", type=float, default=None,
+                     help="learning rate (default per family)")
+    p_d.add_argument("--family", choices=("crvae", "win"), default="crvae",
+                     help="causal parameterization: crvae = GRU input-"
+                          "weight column groups (flagship); win = explicit "
+                          "per-head W_in matrix")
+    p_d.add_argument("--prox", choices=("row", "element"), default=None,
+                     help="win family's sparsity groups (default row)")
+    p_d.add_argument("--latent", type=int, default=32,
+                     help="win family's latent width")
     p_d.add_argument("--iters", type=int, default=2000)
     p_d.add_argument("--batch", type=int, default=256)
     p_d.add_argument("--seeds", type=int, default=1,

@@ -79,13 +79,16 @@ def _pool_windows(series: jax.Array, context: int) -> jax.Array:
 
 def discover(series, *, context: int = 20, hidden: int = 64,
              enc_len: Optional[int] = None,
-             lam: float = 0.1, lr: float = 5e-2, beta: float = 0.1,
+             lam: float = 0.1, lr: Optional[float] = None, beta: float = 0.1,
              max_iter: int = 2000, batch_size: int = 256,
              seeds: int = 1, seed: int = 0,
              threshold: float | str = "auto",
              min_frac: float | str = "auto",
              standardize: bool = True,
              latent_reg: str = "kl",
+             family: str = "crvae",
+             prox: Optional[str] = None,
+             latent: int = 32,
              generate: int = 0,
              phase2_iters: Optional[int] = None,
              names: Optional[list] = None,
@@ -110,14 +113,37 @@ def discover(series, *, context: int = 20, hidden: int = 64,
         "auto" (largest vote-spectrum gap, clamped to [0.5, 0.95]).
       standardize: z-score each variable over time first (the reference
         standardizes inside every generator, ``CRVAE_lorenz96.py:718-721``).
+      family: causal parameterization — ``"crvae"`` (the flagship author
+        variant: GRU input-weight **column** groups) or ``"win"`` (the
+        explicit per-head W_in matrix, the reference's two re-implementation
+        scripts).  ``lr`` defaults per family (5e-2 manual SGD for crvae,
+        the W_in trainer's Adam default for win).
+      prox: sparsity-group convention for the win family — ``"row"``
+        (``CRVAE.py:145-147``) or ``"element"`` (``CR-VAE.py:126-128``);
+        default "row".  The crvae family always uses column groups
+        (``author_CRVAE.py:314``).
+      latent: latent width for the win family's encoder (crvae ties the
+        latent to ``hidden``).
       generate: if > 0, also train phase 2 on the selected graph and sample
         this many synthetic rollouts.
-      mesh: optional (dp, ep) ``jax.sharding.Mesh`` — shards the single fit
-        (batch over dp, heads over ep) and the multi-seed sweep (seeds
-        over dp).
+      mesh: optional (dp, ep) ``jax.sharding.Mesh`` — crvae family only:
+        shards the single fit (batch over dp, heads over ep) and the
+        multi-seed sweep (seeds over dp).
+
+    For ``family="win"``, ``max_iter`` counts stage-I epochs (stage II runs
+    ``phase2_iters`` or half that), ``enc_len`` is the τ split of the 2τ
+    window (the ``context`` must be even or it is rounded down to 2τ), and
+    ``generate`` conditions the rollout on the first windows of the series.
 
     Returns a ``DiscoveryResult``.
     """
+    if family not in ("crvae", "win"):
+        raise ValueError(f"family must be 'crvae' or 'win', got {family!r}")
+    if prox is not None and family != "win":
+        raise ValueError(
+            "prox= selects the win family's group convention; the crvae "
+            "family is always column-grouped (author_CRVAE.py:314) — pass "
+            "family='win' to use row/element groups")
     from vae_connexe_tpu.evals import auto_threshold, stability_selection
     from vae_connexe_tpu.models import CRVAE
     from vae_connexe_tpu.train import Phase1Config, fit_phase1
@@ -144,14 +170,28 @@ def discover(series, *, context: int = 20, hidden: int = 64,
     if not 0 < enc_len < context:
         raise ValueError(f"enc_len={enc_len} must be in (0, context={context})")
 
+    key = jax.random.key(seed)
+    k_init, k_run = jax.random.split(key)
+
+    if family == "win":
+        if mesh is not None:
+            raise ValueError("mesh= supports the crvae family only")
+        return _discover_win(series, names=names, tau=enc_len, hidden=hidden,
+                             latent=latent, lam=lam, lr=lr,
+                             prox=prox or "row", max_iter=max_iter,
+                             batch_size=batch_size, seeds=seeds,
+                             threshold=threshold, min_frac=min_frac,
+                             generate=generate, phase2_iters=phase2_iters,
+                             k_init=k_init, k_run=k_run, verbose=verbose,
+                             log_fn=log_fn)
+    if lr is None:
+        lr = 5e-2
+
     windows = _pool_windows(series, context)
     model = CRVAE(p=p, hidden=hidden, enc_len=enc_len)
     full = jnp.ones((p, p), jnp.float32)
     cfg = Phase1Config(lam=lam, lr=lr, beta=beta, max_iter=max_iter,
                        batch_size=batch_size, latent_reg=latent_reg)
-
-    key = jax.random.key(seed)
-    k_init, k_run = jax.random.split(key)
 
     votes = seed_scores = best = None
     if seeds > 1:
@@ -215,4 +255,80 @@ def discover(series, *, context: int = 20, hidden: int = 64,
         result.params = p2_best
         result.metrics.update({f"phase2_{k}": float(v) for k, v in m2.items()})
 
+    return result
+
+
+def _discover_win(series, *, names, tau, hidden, latent, lam, lr, prox,
+                  max_iter, batch_size, seeds, threshold, min_frac,
+                  generate, phase2_iters, k_init, k_run, verbose, log_fn):
+    """The win-family discovery path: explicit per-head W_in matrices with
+    row-group (``CRVAE.py:145-147``) or element-wise (``CR-VAE.py:126-128``)
+    proximal sparsity, trained by the two-stage ISTA/Adam trainer.
+
+    ``max_iter`` counts stage-I epochs; stage II (error-compensation
+    refinement on the frozen support) runs ``phase2_iters`` epochs, default
+    half of stage I.
+    """
+    from vae_connexe_tpu.data import sliding_windows
+    from vae_connexe_tpu.evals import auto_threshold, stability_selection
+    from vae_connexe_tpu.models import WInCRVAE
+    from vae_connexe_tpu.train import WInTrainConfig, WInTrainer
+
+    p = series.shape[-1]
+    if series.ndim == 2:
+        windows = sliding_windows(series, 2 * tau)
+    else:
+        wins = jax.vmap(lambda s: sliding_windows(s, 2 * tau))(series)
+        windows = wins.reshape((-1,) + wins.shape[2:])
+
+    stage2 = phase2_iters if phase2_iters is not None else max(1, max_iter // 2)
+    cfg = WInTrainConfig(lam=lam, prox_groups=prox, batch_size=batch_size,
+                         stage1_epochs=max_iter, stage2_epochs=stage2,
+                         **({} if lr is None else {"lr": lr}))
+    model = WInCRVAE(d=p, hidden=hidden, latent=latent, tau=tau)
+    trainer = WInTrainer(model, cfg)
+
+    params, metrics = trainer.fit(model.init(k_init), windows, k_run,
+                                  verbose=verbose, log_fn=log_fn)
+    scores = model.granger_matrix(params, threshold=False)
+
+    votes = seed_scores = None
+    if seeds > 1:
+        # Extra inits train SIMULTANEOUSLY in one vmapped program per epoch
+        # block; stage 2 is skipped for them unless it updates W_in (it
+        # would not change the scores — ``CRVAE.py:158-159`` freezes W_in).
+        e2 = stage2 if cfg.update_w_in_stage2 else 0
+        s_idx = jnp.arange(1, seeds)
+        p_stack = jax.vmap(
+            lambda s: model.init(jax.random.fold_in(k_init, s)))(s_idx)
+        seed_keys = jax.vmap(
+            lambda s: jax.random.fold_in(k_run, 100 + s))(s_idx)
+        p_stack, _ = trainer.fit_many(p_stack, windows, seed_keys,
+                                      stage2_epochs=e2)
+        extra = jax.vmap(
+            lambda ps: model.granger_matrix(ps, threshold=False))(p_stack)
+        seed_scores = np.stack([np.asarray(scores)] + list(np.asarray(extra)))
+        votes_j, selected, thr = stability_selection(
+            jnp.asarray(seed_scores), min_frac=min_frac)
+        votes = np.asarray(votes_j)
+        gc = np.asarray(selected)
+        scores = jnp.median(jnp.asarray(seed_scores), axis=0)
+    else:
+        thr = float(auto_threshold(scores)) if threshold == "auto" \
+            else float(threshold)
+        gc = np.asarray((scores > thr).astype(np.int32))
+
+    result = DiscoveryResult(
+        scores=np.asarray(scores), gc=gc, threshold=float(thr), votes=votes,
+        seed_scores=seed_scores, params=params, model=model, names=names,
+        metrics={k: float(v) for k, v in metrics.items()})
+
+    if generate > 0:
+        # Condition the autoregressive rollout on real context windows (the
+        # reference's generation demo seeds from data, ``CRVAE.py:374-390``).
+        k_gen = jax.random.fold_in(k_run, 1)
+        reps = -(-generate // windows.shape[0])          # ceil
+        ctx = jnp.tile(windows, (reps, 1, 1))[:generate]
+        result.samples = np.asarray(
+            model.generate(params, ctx, k_gen, 2 * tau))
     return result
