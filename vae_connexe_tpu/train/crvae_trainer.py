@@ -250,7 +250,7 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
                             batch_sharding=batch_sharding)
     state = Phase1State(params=_copy_tree(params), prior=prior,
                         best_params=_copy_tree(params),
-                        best_loss=jnp.array(jnp.inf), key=key,
+                        best_loss=jnp.array(jnp.inf), key=_copy_tree(key),
                         step=jnp.zeros([], jnp.int32))
 
     if mesh is None:
@@ -391,7 +391,7 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
                         err_opt=err_opt.init(err_params), prior=prior,
                         best_params=_copy_tree(params),
                         best_loss=jnp.array(jnp.inf),
-                        key=key, step=jnp.zeros([], jnp.int32))
+                        key=_copy_tree(key), step=jnp.zeros([], jnp.int32))
 
     if mesh is None:
         @functools.partial(jax.jit, static_argnames=("length",),

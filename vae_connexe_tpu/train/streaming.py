@@ -179,7 +179,7 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
 
     state = Phase1State(params=_copy_tree(params), prior=prior,
                         best_params=_copy_tree(params),
-                        best_loss=jnp.array(jnp.inf), key=key,
+                        best_loss=jnp.array(jnp.inf), key=_copy_tree(key),
                         step=jnp.zeros([], jnp.int32))
     if mesh is not None:
         state = jax.device_put(state, state_shard)
@@ -279,7 +279,7 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
                         err_opt=err_opt.init(err_params), prior=prior,
                         best_params=_copy_tree(params),
                         best_loss=jnp.array(jnp.inf),
-                        key=key, step=jnp.zeros([], jnp.int32))
+                        key=_copy_tree(key), step=jnp.zeros([], jnp.int32))
     if mesh is not None:
         state = jax.device_put(state, state_shard)
 
