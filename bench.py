@@ -126,39 +126,43 @@ def phase2_flops_bytes(p: int, hidden: int, batch: int, ctx: int,
 
 
 def pick_serve_batch(p: int, hidden: int, vmem_bytes: float = 16 * 2**20,
-                     lane: int = 128, lo: int = 128, hi: int = 8192) -> int:
+                     lane: int = 128, lo: int = 128, hi: int = 16384,
+                     elem_bytes: int = 4) -> int:
     """VMEM-locality serving batch: the largest lane-aligned batch whose
-    per-step hidden-state working set — B·(p+1)·H f32, the p decoder-head
-    carries plus the error-VAE carry — fits the v5e core's ~16 MB VMEM.
+    per-step hidden-state working set — B·(p+1)·H·elem_bytes, the p
+    decoder-head carries plus the error-VAE carry — fits the v5e core's
+    ~16 MB VMEM.
 
-    Anchored by the round-3 measured curve at p=20, H=64 (RESULTS.md):
+    Anchored by the round-3 measured curve at p=20, H=64, f32 (RESULTS.md):
     the formula lands on 3072, exactly the measured throughput peak
     (1.25M samples/s); past it the states spill to HBM and throughput
     halves (4096: 803k, 8192: 512k).  Heuristic at other shapes — the
     anchor is the only measured curve — but the failure mode it guards
-    against (state spill) is shape-generic.
+    against (state spill) is shape-generic.  ``elem_bytes=2`` (bf16
+    serving) doubles the feasible batch.
     """
-    b = int(vmem_bytes // ((p + 1) * hidden * 4))
+    b = int(vmem_bytes // ((p + 1) * hidden * elem_bytes))
     return max(lo, min(hi, (b // lane) * lane))
 
 
 def generate_flops_bytes_per_sample(p: int, hidden: int, batch: int,
-                                    rollout_len: int = 21) -> tuple[float, float]:
+                                    rollout_len: int = 21,
+                                    elem_bytes: int = 4) -> tuple[float, float]:
     """Serving: one compensated rollout sample = rollout_len error-VAE
     decoder steps + rollout_len × p CRVAE head steps (+ readouts), forward
     only.  Bytes per sample amortize the per-step parameter reads over the
-    serving batch; hidden states round-trip HBM between steps."""
+    serving batch; hidden states round-trip HBM between steps.
+    ``elem_bytes``: serving precision (4 = f32, 2 = bf16)."""
     H = hidden
     cell = 3 * 2 * H * (p + H)
     flops = rollout_len * (
         cell + 2 * H * p               # error-VAE decoder step + out
         + p * (cell + 2 * H))          # p heads + readouts
-    f32 = 4
     head_params = p * (3 * H * (p + H) + 6 * H + H + 1)
     err_params = 3 * H * (p + H) + 6 * H + H * p + p
-    param_bytes_per_step = f32 * (head_params + err_params) / batch
-    state_bytes = f32 * 2 * (p + 1) * H            # h in+out per step
-    out_bytes = f32 * 2 * p                        # sample write + noise read
+    param_bytes_per_step = elem_bytes * (head_params + err_params) / batch
+    state_bytes = elem_bytes * 2 * (p + 1) * H     # h in+out per step
+    out_bytes = elem_bytes * 2 * p                 # sample write + noise read
     hbm = rollout_len * (param_bytes_per_step + state_bytes + out_bytes)
     return float(flops), float(hbm)
 
@@ -224,6 +228,13 @@ def main():
                          "samples/s — the peak sits where the rollout's "
                          "hidden-state working set still fits VMEM; past "
                          "it the states spill to HBM and throughput cliffs")
+    ap.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="rollout precision for --workload generate: "
+                         "bfloat16 runs the generation weights/carries/gate "
+                         "math in bf16 (f32 output), halving the VMEM "
+                         "working set that bounds the serving batch — the "
+                         "auto serve batch doubles accordingly")
     args = ap.parse_args()
     if args.quick:
         args.steps = 300
@@ -535,8 +546,11 @@ def bench_generate(args):
     params = model.init(jax.random.key(0))
     err_params = err.init(jax.random.key(1))
     parents = jnp.ones((args.p, args.p), jnp.float32)
+    serve_dtype = (jnp.bfloat16 if args.serve_dtype == "bfloat16" else None)
+    elem_bytes = 2 if serve_dtype is not None else 4
     batch = (args.serve_batch if args.serve_batch
-             else pick_serve_batch(args.p, args.hidden))
+             else pick_serve_batch(args.p, args.hidden,
+                                   elem_bytes=elem_bytes))
     n_gens = 50
 
     # Params as jit arguments, not closure constants — baked-in constants
@@ -545,7 +559,8 @@ def bench_generate(args):
     def gen_many(prms, eprms, key, n):
         def one(acc, k):
             out = generate_with_compensation(model, err, prms, eprms, k,
-                                             batch, parents=parents)
+                                             batch, parents=parents,
+                                             dtype=serve_dtype)
             return acc + out.sum(), None
         acc, _ = jax.lax.scan(one, jnp.float32(0.0),
                               jax.random.split(key, n), length=n)
@@ -572,11 +587,13 @@ def bench_generate(args):
         "range": [round(rates[0], 1), round(rates[-1], 1)],
         "rollout_len": model.rollout_len,
         "batch": batch,
+        "serve_dtype": args.serve_dtype,
         "gens_per_dispatch": n_gens,
         "device": str(jax.devices()[0].device_kind),
     }
     flops, hbm = generate_flops_bytes_per_sample(args.p, args.hidden, batch,
-                                                 model.rollout_len)
+                                                 model.rollout_len,
+                                                 elem_bytes=elem_bytes)
     out.update(roofline_fields(rates[1], flops, hbm,
                                str(jax.devices()[0].device_kind)))
     print(json.dumps(out))

@@ -153,3 +153,32 @@ class TestServingCli:
             assert np.isfinite(samples).all()
         finally:
             EXPERIMENTS.pop("_test_export", None)
+
+
+class TestExportServeDtype:
+    """bf16 serving precision baked into the artifact (see
+    ``tests/test_serve_dtype.py`` for the in-process lever)."""
+
+    def test_bf16_artifact_f32_output_and_header(self, small_pair):
+        model, err, params, eparams = small_pair
+        fn, meta = load_generator(export_generator(
+            model, err, params, eparams, batch=16,
+            serve_dtype="bfloat16"))
+        assert meta["serve_dtype"] == "bfloat16"
+        out = fn(11)
+        assert out.dtype == np.float32
+        assert np.isfinite(out).all()
+        # Distribution must track the f32 artifact (same seed => same
+        # h0/noise draws; bf16 only perturbs the gate math).
+        fn32, meta32 = load_generator(export_generator(
+            model, err, params, eparams, batch=16))
+        assert meta32["serve_dtype"] == "float32"
+        ref = fn32(11)
+        assert np.allclose(out.mean(), ref.mean(), atol=0.02)
+        assert np.allclose(out.std(), ref.std(), rtol=0.05, atol=0.02)
+
+    def test_bad_serve_dtype_rejected(self, small_pair):
+        model, err, params, eparams = small_pair
+        with pytest.raises(ValueError, match="serve_dtype"):
+            export_generator(model, err, params, eparams, batch=2,
+                             serve_dtype="float16")

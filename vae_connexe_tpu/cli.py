@@ -275,7 +275,8 @@ def _cmd_export(args):
     blob = export_generator(model, err_model, ckpt["crvae"],
                             ckpt["error_vae"], batch=args.batch,
                             length=args.length,
-                            platforms=args.platforms)
+                            platforms=args.platforms,
+                            serve_dtype=args.serve_dtype)
     pathlib.Path(args.out).write_bytes(blob)
     print(json.dumps({"artifact": args.out, "bytes": len(blob),
                       "batch": args.batch,
@@ -449,6 +450,11 @@ def main(argv=None):
                      help="rollout length override")
     p_x.add_argument("--platforms", nargs="+", default=None,
                      help="lowering targets, e.g. --platforms cpu tpu")
+    p_x.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
+                     default=None,
+                     help="bake reduced serving precision into the "
+                          "artifact (bfloat16 halves the rollout's VMEM "
+                          "working set; output stays float32)")
     p_x.set_defaults(fn=_cmd_export)
 
     p_g = sub.add_parser("generate", help="sample from an exported artifact")

@@ -146,10 +146,20 @@ class CRVAE:
 
     def _free_run(self, params: CRVAEParams, heads: GRUParams, x0: jax.Array,
                   h0: jax.Array, noise: jax.Array,
-                  steps: Optional[int] = None) -> jax.Array:
+                  steps: Optional[int] = None,
+                  dtype: Optional[jnp.dtype] = None) -> jax.Array:
         """Shared generation core: scan every head one GRU step per emitted
         value, injecting ``noise_scale * noise_t`` (the compensated value
-        feeds the next step, ``author_CRVAE.py:284-286``)."""
+        feeds the next step, ``author_CRVAE.py:284-286``).
+
+        ``dtype``: optional serving precision (e.g. ``jnp.bfloat16``) — the
+        weights, carries, and gate math run in that dtype and the output is
+        cast back to float32.  Halves the per-step hidden-state working set
+        (B·(p+1)·H) that bounds the serving batch, and the parameter +
+        state HBM traffic of the sequential rollout chain.  Training and
+        eval paths never pass it; the reference has no reduced-precision
+        (or any) serving story.
+        """
         if steps is not None and noise.shape[1] != steps:
             # The scan length is noise.shape[1]; a silently mismatched noise
             # would change the rollout length (ErrorVAE.sample returns
@@ -157,22 +167,29 @@ class CRVAE:
             raise ValueError(
                 f"noise has {noise.shape[1]} steps but the rollout wants "
                 f"{steps}; slice the error-VAE sample to the rollout length")
+        readout = params.readout
+        if dtype is not None:
+            heads, readout = jax.tree.map(lambda a: a.astype(dtype),
+                                          (heads, readout))
+            x0, h0, noise = (a.astype(dtype) for a in (x0, h0, noise))
 
         def step(carry, noise_t):
             x_last, h = carry
             h_new = gru_step_heads(heads, x_last, h)         # (p, B, H)
-            out = jnp.einsum("pbh,poh->pbo", h_new, params.readout.w) \
-                + params.readout.b[:, None, :]
+            out = jnp.einsum("pbh,poh->pbo", h_new, readout.w) \
+                + readout.b[:, None, :]
             x_t = out[..., 0].T + self.noise_scale * noise_t  # (B, p)
             return (x_t, h_new), x_t
 
         _, seq = jax.lax.scan(step, (x0, h0), jnp.swapaxes(noise, 0, 1))
-        return jnp.swapaxes(seq, 0, 1)
+        seq = jnp.swapaxes(seq, 0, 1)
+        return seq.astype(jnp.float32) if dtype is not None else seq
 
     def rollout(self, params: CRVAEParams, key: jax.Array, batch: int,
                 noise: Optional[jax.Array] = None,
                 parents: Optional[jax.Array] = None,
-                length: Optional[int] = None) -> jax.Array:
+                length: Optional[int] = None,
+                dtype: Optional[jnp.dtype] = None) -> jax.Array:
         """Free-running generation (the reference's ``mode='test'``).
 
         Starts from x₀ = 0 with one shared random h₀ for all heads; each of
@@ -188,12 +205,13 @@ class CRVAE:
         x0 = jnp.zeros((batch, self.p))
         if noise is None:
             noise = jnp.zeros((batch, steps, self.p))
-        return self._free_run(params, heads, x0, h0, noise, steps)
+        return self._free_run(params, heads, x0, h0, noise, steps, dtype=dtype)
 
     def conditioned_rollout(self, params: CRVAEParams, x_context: jax.Array,
                             key: jax.Array, noise: Optional[jax.Array] = None,
                             parents: Optional[jax.Array] = None,
-                            length: Optional[int] = None) -> jax.Array:
+                            length: Optional[int] = None,
+                            dtype: Optional[jnp.dtype] = None) -> jax.Array:
         """Generation conditioned on a real context window.
 
         The reference's author-variant rollout always cold-starts from
@@ -222,7 +240,7 @@ class CRVAE:
         x0 = x_context[:, -1, :]
         if noise is None:
             noise = jnp.zeros((x0.shape[0], steps, self.p))
-        return self._free_run(params, heads, x0, h0, noise, steps)
+        return self._free_run(params, heads, x0, h0, noise, steps, dtype=dtype)
 
     # ---------------- causal graph ----------------
 

@@ -97,24 +97,34 @@ class ErrorVAE:
         return dense(params.out, outs), mu, logvar
 
     def sample(self, params: ErrorVAEParams, key: jax.Array, batch: int,
-               length: Optional[int] = None) -> jax.Array:
+               length: Optional[int] = None,
+               dtype: Optional[jnp.dtype] = None) -> jax.Array:
         """Free-running error-sequence generation from a random hidden state.
 
         Mirrors the ``mode='test'`` path (``author_CRVAE.py:174-182``):
         start from x₀ = 0 and h ~ N(0, I), roll ``length`` steps.  The
         reference keeps the leading zero step and returns length+1 steps;
         callers slice as needed.  Returns (B, length + 1, D).
+
+        ``dtype``: optional serving precision (see ``CRVAE._free_run``) —
+        the decoder weights, carries, and gate math run in that dtype; the
+        returned sequence is float32 either way.
         """
         steps = self.rollout_len if length is None else length
         h0 = jax.random.normal(key, (batch, self.hidden))
         x0 = jnp.zeros((batch, self.d))
+        dec, out_p = params.dec, params.out
+        if dtype is not None:
+            dec, out_p = jax.tree.map(lambda a: a.astype(dtype), (dec, out_p))
+            h0, x0 = h0.astype(dtype), x0.astype(dtype)
 
         def step(carry, _):
             x, h = carry
-            h_new = gru_cell(params.dec, x, h)
-            x_new = dense(params.out, h_new)
+            h_new = gru_cell(dec, x, h)
+            x_new = dense(out_p, h_new)
             return (x_new, h_new), x_new
 
         _, seq = jax.lax.scan(step, (x0, h0), None, length=steps)
         seq = jnp.swapaxes(seq, 0, 1)                       # (B, steps, D)
-        return jnp.concatenate([x0[:, None, :], seq], axis=1)
+        seq = jnp.concatenate([x0[:, None, :], seq], axis=1)
+        return seq.astype(jnp.float32) if dtype is not None else seq

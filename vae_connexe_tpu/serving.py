@@ -36,11 +36,12 @@ _MAGIC = b"VCXEXPT1"
 
 
 def _generation_fn(model, err_model, params, err_params, batch: int,
-                   parents, length: Optional[int]):
+                   parents, length: Optional[int], dtype=None):
     """seed -> samples; splits the key exactly as
     ``train.generate_with_compensation`` does, so the exported artifact and
     the in-process call with ``jax.random.key(seed)`` produce identical
-    samples (pinned in ``tests/test_serving.py``)."""
+    samples (pinned in ``tests/test_serving.py``).  ``dtype``: optional
+    serving precision (see ``CRVAE._free_run``) baked into the artifact."""
     steps = model.rollout_len if length is None else length
 
     def fn(seed):
@@ -48,16 +49,17 @@ def _generation_fn(model, err_model, params, err_params, batch: int,
         k_e, k_r = jax.random.split(key)
         # ErrorVAE.sample emits one step more than asked (the reference's
         # 21-from-20 convention); slice exactly as the trainer does.
-        noise = err_model.sample(err_params, k_e, batch, steps)
+        noise = err_model.sample(err_params, k_e, batch, steps, dtype=dtype)
         return model.rollout(params, k_r, batch, noise=noise[:, :steps],
-                             parents=parents, length=steps)
+                             parents=parents, length=steps, dtype=dtype)
 
     return fn, steps
 
 
 def export_generator(model, err_model, params, err_params, *, batch: int,
                      parents=None, length: Optional[int] = None,
-                     platforms: Optional[list[str]] = None) -> bytes:
+                     platforms: Optional[list[str]] = None,
+                     serve_dtype: Optional[str] = None) -> bytes:
     """Export the compensated generator as a self-contained artifact.
 
     Args:
@@ -70,13 +72,21 @@ def export_generator(model, err_model, params, err_params, *, batch: int,
       length: rollout length override (default ``model.rollout_len``).
       platforms: lowering targets, e.g. ``["cpu", "tpu"]``; default = the
         current default backend only.
+      serve_dtype: optional reduced serving precision baked into the
+        artifact — ``"bfloat16"`` runs the rollout weights/carries/gate
+        math in bf16 (f32 output; see ``CRVAE._free_run``).  Default None
+        exports the exact float32 program the parity tests pin.
 
     Returns the artifact bytes (write them to a file; ``load_generator``
     reads them back anywhere).
     """
+    if serve_dtype is not None and serve_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"serve_dtype must be 'float32' or 'bfloat16', "
+                         f"got {serve_dtype!r}")
+    dtype = jnp.bfloat16 if serve_dtype == "bfloat16" else None
     fn, steps = _generation_fn(model, err_model, params, err_params, batch,
                                None if parents is None else jnp.asarray(
-                                   parents, jnp.float32), length)
+                                   parents, jnp.float32), length, dtype=dtype)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
@@ -90,6 +100,7 @@ def export_generator(model, err_model, params, err_params, *, batch: int,
         "p": model.p,
         "hidden": model.hidden,
         "noise_scale": model.noise_scale,
+        "serve_dtype": serve_dtype or "float32",
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
     }).encode()

@@ -424,11 +424,18 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
 def generate_with_compensation(model: CRVAE, err_model: ErrorVAE,
                                params: CRVAEParams, err_params: ErrorVAEParams,
                                key: jax.Array, batch: int,
-                               parents: Optional[jax.Array] = None) -> jax.Array:
+                               parents: Optional[jax.Array] = None,
+                               dtype=None) -> jax.Array:
     """Phase-2 sampling: draw an error sequence from the error VAE and inject
     it (scaled by ``model.noise_scale``) into the free-running rollout
-    (``author_CRVAE.py:682-684`` + ``:284-286``).  Returns (B, rollout_len, p)."""
+    (``author_CRVAE.py:682-684`` + ``:284-286``).  Returns (B, rollout_len, p).
+
+    ``dtype``: optional serving precision for both rollouts (e.g.
+    ``jnp.bfloat16``; see ``CRVAE._free_run``).  Output is float32 either
+    way; default None keeps the exact float32 path the export-parity tests
+    pin."""
     k_e, k_r = jax.random.split(key)
-    noise = err_model.sample(err_params, k_e, batch, model.rollout_len)
+    noise = err_model.sample(err_params, k_e, batch, model.rollout_len,
+                             dtype=dtype)
     return model.rollout(params, k_r, batch, noise=noise[:, : model.rollout_len],
-                         parents=parents)
+                         parents=parents, dtype=dtype)
