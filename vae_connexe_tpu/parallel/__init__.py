@@ -14,6 +14,7 @@ from vae_connexe_tpu.parallel.mesh import (
 )
 from vae_connexe_tpu.parallel.multihost import initialize_multihost
 from vae_connexe_tpu.parallel.seed_sweep import make_sweep_fn, sweep_phase1
+from vae_connexe_tpu.parallel.serve import make_sharded_generator
 from vae_connexe_tpu.parallel.seq_parallel import (
     seq_sharded_gru,
     seq_sharded_gru_heads,
@@ -24,6 +25,7 @@ __all__ = [
     "head_sharding",
     "initialize_multihost",
     "make_mesh",
+    "make_sharded_generator",
     "replicated",
     "seq_sharded_gru",
     "seq_sharded_gru_heads",
