@@ -8,6 +8,7 @@ Subcommands:
   eval       evaluate / generate from a saved checkpoint
   export     phase-2 checkpoint -> self-contained StableHLO serving artifact
   generate   sample from an exported artifact (no model code needed)
+  serve      HTTP serving daemon for an exported artifact
   bench      the headline throughput benchmark (same as repo-root bench.py)
 
 Examples:
@@ -283,6 +284,21 @@ def _cmd_export(args):
                       "platforms": args.platforms or ["default"]}, indent=2))
 
 
+def _cmd_serve(args):
+    """Run the HTTP serving daemon on an exported artifact."""
+    from vae_connexe_tpu.server import GeneratorServer
+
+    srv = GeneratorServer(args.artifact, host=args.host, port=args.port)
+    print(json.dumps({"serving": args.artifact, "host": srv.host,
+                      "port": srv.port, "batch": srv.meta["batch"],
+                      "serve_dtype": srv.meta.get("serve_dtype", "float32"),
+                      "warmup_s": round(srv._warmup_s, 3)}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def _cmd_generate(args):
     """Sample from an exported serving artifact (no model code needed)."""
     import numpy as np
@@ -462,6 +478,14 @@ def main(argv=None):
     p_g.add_argument("--seed", type=int, default=0)
     p_g.add_argument("--out", default=None, help=".npy path for samples")
     p_g.set_defaults(fn=_cmd_generate)
+
+    p_s = sub.add_parser("serve", help="HTTP serving daemon for an exported "
+                                       "artifact (GET /healthz /meta, "
+                                       "POST /generate)")
+    p_s.add_argument("artifact", help=".vcx path from cli export")
+    p_s.add_argument("--host", default="127.0.0.1")
+    p_s.add_argument("--port", type=int, default=8799)
+    p_s.set_defaults(fn=_cmd_serve)
 
     p_b = sub.add_parser("bench", help="headline throughput benchmark")
     p_b.add_argument("--quick", action="store_true")
