@@ -182,3 +182,127 @@ class TestExportServeDtype:
         with pytest.raises(ValueError, match="serve_dtype"):
             export_generator(model, err, params, eparams, batch=2,
                              serve_dtype="float16")
+
+
+class TestWinExport:
+    """Context-conditioned W_in-family artifacts
+    (``serving.export_win_generator``; generation semantics from
+    ``CRVAE.py:105-123``)."""
+
+    @pytest.fixture(scope="class")
+    def win(self):
+        from vae_connexe_tpu.models import WInCRVAE
+
+        model = WInCRVAE(d=4, hidden=16, latent=8, tau=5)
+        return model, model.init(jax.random.key(0))
+
+    def test_roundtrip_matches_in_process(self, win):
+        model, params = win
+        from vae_connexe_tpu.serving import export_win_generator
+
+        blob = export_win_generator(model, params, batch=3, length=7)
+        fn, meta = load_generator(blob)
+        assert meta["kind"] == "win_conditioned_generator"
+        assert meta["tau"] == model.tau and meta["batch"] == 3
+        ctx = np.asarray(jax.random.normal(jax.random.key(1),
+                                           (3, model.tau, model.d)))
+        out = fn(9, ctx)
+        assert out.shape == (3, 7, model.d)
+        import jax.numpy as jnp
+
+        ref = np.asarray(model.generate(params, jnp.asarray(ctx),
+                                        jax.random.key(9), 7))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_context_shape_validated(self, win):
+        model, params = win
+        from vae_connexe_tpu.serving import export_win_generator
+
+        fn, _ = load_generator(export_win_generator(model, params,
+                                                    batch=3, length=7))
+        with pytest.raises(ValueError, match="context shape"):
+            fn(0, np.zeros((3, model.tau + 2, model.d), np.float32))
+
+    def test_bf16_win_artifact(self, win):
+        model, params = win
+        from vae_connexe_tpu.serving import export_win_generator
+
+        fn, meta = load_generator(export_win_generator(
+            model, params, batch=8, length=6, serve_dtype="bfloat16"))
+        assert meta["serve_dtype"] == "bfloat16"
+        ctx = np.asarray(jax.random.normal(jax.random.key(2),
+                                           (8, model.tau, model.d)))
+        out = fn(1, ctx)
+        assert out.dtype == np.float32 and np.isfinite(out).all()
+        f32fn, _ = load_generator(export_win_generator(model, params,
+                                                       batch=8, length=6))
+        ref = f32fn(1, ctx)
+        assert np.allclose(out.std(), ref.std(), rtol=0.05, atol=0.02)
+
+    def test_server_serves_win_artifact(self, win):
+        import io
+        import urllib.error
+        import urllib.request
+
+        from vae_connexe_tpu.server import GeneratorServer
+        from vae_connexe_tpu.serving import export_win_generator
+
+        model, params = win
+        blob = export_win_generator(model, params, batch=2, length=5)
+        srv = GeneratorServer(blob)
+        srv.start()
+        try:
+            ctx = np.zeros((2, model.tau, model.d), np.float32)
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}/generate",
+                data=json.dumps({"seed": 4,
+                                 "context": ctx.tolist()}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                samples = np.load(io.BytesIO(r.read()))
+            assert samples.shape == (2, 5, model.d)
+            # Missing context -> 400 with an actionable message.
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}/generate",
+                data=json.dumps({"seed": 4}).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+        finally:
+            srv.shutdown()
+
+    def test_cli_export_win(self, win, tmp_path, capsys):
+        from vae_connexe_tpu.cli import main
+        from vae_connexe_tpu.utils import save_checkpoint
+
+        model, params = win
+        ckpt = tmp_path / "ckpt_win"
+        save_checkpoint(str(ckpt), params)
+
+        import dataclasses
+
+        from vae_connexe_tpu.configs import EXPERIMENTS
+
+        base = EXPERIMENTS["henon6d_win"]
+        EXPERIMENTS["_test_export_win"] = dataclasses.replace(
+            base, name="_test_export_win", p=model.d, hidden=model.hidden,
+            latent=model.latent, tau=model.tau)
+        try:
+            art = tmp_path / "win.vcx"
+            main(["export", "_test_export_win", str(ckpt), "--out",
+                  str(art), "--batch", "2", "--length", "5"])
+            summary = json.loads(capsys.readouterr().out)
+            assert summary["bytes"] == art.stat().st_size
+
+            ctx = np.zeros((2, 9, model.d), np.float32)   # > tau: sliced
+            ctx_path = tmp_path / "ctx.npy"
+            np.save(ctx_path, ctx)
+            out_npy = tmp_path / "win_samples.npy"
+            main(["generate", str(art), "--seed", "2", "--context",
+                  str(ctx_path), "--out", str(out_npy)])
+            gen = json.loads(capsys.readouterr().out)
+            assert gen["shape"] == [2, 5, model.d]
+            assert np.isfinite(np.load(out_npy)).all()
+        finally:
+            EXPERIMENTS.pop("_test_export_win", None)

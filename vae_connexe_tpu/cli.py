@@ -265,19 +265,32 @@ def _cmd_export(args):
     from vae_connexe_tpu.utils import restore_checkpoint
 
     exp = get_experiment(args.experiment)
-    if exp.model_family != "crvae":
-        sys.exit(f"export supports the crvae family; {args.experiment!r} "
-                 f"is {exp.model_family!r}")
-    model = CRVAE(p=exp.p, hidden=exp.hidden)
-    err_model = ErrorVAE(d=exp.p, hidden=exp.hidden)
-    target = {"crvae": model.init(jax.random.key(0)),
-              "error_vae": err_model.init(jax.random.key(0))}
-    ckpt = restore_checkpoint(args.checkpoint, target)
-    blob = export_generator(model, err_model, ckpt["crvae"],
-                            ckpt["error_vae"], batch=args.batch,
-                            length=args.length,
-                            platforms=args.platforms,
-                            serve_dtype=args.serve_dtype)
+    if exp.model_family == "crvae":
+        model = CRVAE(p=exp.p, hidden=exp.hidden)
+        err_model = ErrorVAE(d=exp.p, hidden=exp.hidden)
+        target = {"crvae": model.init(jax.random.key(0)),
+                  "error_vae": err_model.init(jax.random.key(0))}
+        ckpt = restore_checkpoint(args.checkpoint, target)
+        blob = export_generator(model, err_model, ckpt["crvae"],
+                                ckpt["error_vae"], batch=args.batch,
+                                length=args.length,
+                                platforms=args.platforms,
+                                serve_dtype=args.serve_dtype)
+    elif exp.model_family == "win":
+        from vae_connexe_tpu.models import WInCRVAE
+        from vae_connexe_tpu.serving import export_win_generator
+
+        model = WInCRVAE(d=exp.p, hidden=exp.hidden, latent=exp.latent,
+                         tau=exp.tau)
+        params = restore_checkpoint(args.checkpoint,
+                                    model.init(jax.random.key(0)))
+        blob = export_win_generator(model, params, batch=args.batch,
+                                    length=args.length or 21,
+                                    platforms=args.platforms,
+                                    serve_dtype=args.serve_dtype)
+    else:
+        sys.exit(f"export supports the crvae and win families; "
+                 f"{args.experiment!r} is {exp.model_family!r}")
     pathlib.Path(args.out).write_bytes(blob)
     print(json.dumps({"artifact": args.out, "bytes": len(blob),
                       "batch": args.batch,
@@ -306,7 +319,14 @@ def _cmd_generate(args):
     from vae_connexe_tpu.serving import load_generator
 
     fn, meta = load_generator(args.artifact)
-    samples = fn(args.seed)
+    if meta["kind"] == "win_conditioned_generator":
+        if not args.context:
+            sys.exit("this artifact is context-conditioned; pass --context "
+                     "ctx.npy of shape (batch, >=tau, p)")
+        ctx = np.load(args.context)
+        samples = fn(args.seed, ctx[:, -meta["tau"]:, :])
+    else:
+        samples = fn(args.seed)
     result = {"artifact": args.artifact, "meta": meta, "seed": args.seed,
               "shape": list(samples.shape)}
     if args.out:
@@ -477,6 +497,9 @@ def main(argv=None):
     p_g.add_argument("artifact", help=".vcx path from cli export")
     p_g.add_argument("--seed", type=int, default=0)
     p_g.add_argument("--out", default=None, help=".npy path for samples")
+    p_g.add_argument("--context", default=None,
+                     help=".npy context windows (batch, >=tau, p) for "
+                          "context-conditioned (win-family) artifacts")
     p_g.set_defaults(fn=_cmd_generate)
 
     p_s = sub.add_parser("serve", help="HTTP serving daemon for an exported "

@@ -127,25 +127,38 @@ class WInCRVAE:
         return recon + eps_hat, mu, logsig, mu_e, logvar_e
 
     def generate(self, params: WInCRVAEParams, x_context: jax.Array,
-                 key: jax.Array, length: int) -> jax.Array:
-        """Autoregressive free-running generation.  Returns (B, length, D)."""
+                 key: jax.Array, length: int,
+                 dtype: Optional[jnp.dtype] = None) -> jax.Array:
+        """Autoregressive free-running generation.  Returns (B, length, D).
+
+        ``dtype``: optional serving precision (see ``CRVAE._free_run``) —
+        the rollout weights (w_in, heads, readout), carries, and gate math
+        run in that dtype with float32 output; the one-pass encoder stays
+        f32.  Default None is the exact f32 program.
+        """
         mu, logsig = self.encode(params, x_context[:, -self.tau:, :])
         z = mu + jnp.exp(logsig) * jax.random.normal(key, mu.shape, mu.dtype)
         h = jnp.tanh(dense(params.z2h, z))
         h = jnp.broadcast_to(h, (self.d,) + h.shape)
         x_last = x_context[:, -1, :]
+        w_in, heads, readout = params.w_in, params.heads, params.readout
+        if dtype is not None:
+            w_in, heads, readout = jax.tree.map(
+                lambda a: a.astype(dtype), (w_in, heads, readout))
+            x_last, h = x_last.astype(dtype), h.astype(dtype)
 
         def step(carry, _):
             x_t, h_t = carry
-            x_sel = jnp.einsum("bd,pdh->pbh", x_t, params.w_in)
-            h_new = gru_step_heads(params.heads, x_sel, h_t)
-            out = jnp.einsum("pbh,poh->pbo", h_new, params.readout.w) \
-                + params.readout.b[:, None, :]
+            x_sel = jnp.einsum("bd,pdh->pbh", x_t, w_in)
+            h_new = gru_step_heads(heads, x_sel, h_t)
+            out = jnp.einsum("pbh,poh->pbo", h_new, readout.w) \
+                + readout.b[:, None, :]
             x_new = out[..., 0].T
             return (x_new, h_new), x_new
 
         _, seq = jax.lax.scan(step, (x_last, h), None, length=length)
-        return jnp.swapaxes(seq, 0, 1)
+        seq = jnp.swapaxes(seq, 0, 1)
+        return seq.astype(jnp.float32) if dtype is not None else seq
 
     def granger_matrix(self, params: WInCRVAEParams, thr: float = 1e-6,
                        threshold: bool = True) -> jax.Array:

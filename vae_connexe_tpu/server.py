@@ -16,6 +16,9 @@ Endpoints:
   streams an ``application/x-npy`` body (``np.load``-able); ``"json"``
   returns the nested list.  Deterministic per seed — the artifact's
   calling convention (pinned in ``tests/test_serving.py``).
+  Context-conditioned (win-family) artifacts additionally require
+  ``"context"``: a nested list of shape (batch, tau, p) — the last τ
+  steps of each series to forecast from.
 
 Dispatch is serialized with a lock: one TPU program, one queue — the
 batch dimension (baked into the artifact, ``bench.pick_serve_batch``)
@@ -46,12 +49,17 @@ class GeneratorServer:
 
     def __init__(self, artifact, host: str = "127.0.0.1", port: int = 0):
         self._fn, self.meta = load_generator(artifact)
+        self._needs_context = self.meta["kind"] == "win_conditioned_generator"
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "generate_s_total": 0.0}
         # Warm the executable before accepting traffic: the first call
         # pays the deserialized program's device load.
         t0 = time.perf_counter()
-        self._fn(0)
+        if self._needs_context:
+            self._fn(0, np.zeros((self.meta["batch"], self.meta["tau"],
+                                  self.meta["p"]), np.float32))
+        else:
+            self._fn(0)
         self._warmup_s = time.perf_counter() - t0
 
         server = self
@@ -101,13 +109,27 @@ class GeneratorServer:
                     if fmt not in ("npy", "json"):
                         raise ValueError(f"format must be 'npy' or 'json', "
                                          f"got {fmt!r}")
+                    args = (seed,)
+                    if server._needs_context:
+                        if "context" not in req:
+                            raise ValueError(
+                                "this artifact is context-conditioned; the "
+                                "request body needs 'context': nested list "
+                                f"of shape (batch={server.meta['batch']}, "
+                                f"tau={server.meta['tau']}, "
+                                f"p={server.meta['p']})")
+                        args = (seed, np.asarray(req["context"], np.float32))
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send_json(400, {"error": str(e)})
                     return
-                with server._lock:
-                    t0 = time.perf_counter()
-                    samples = server._fn(seed)
-                    dt = time.perf_counter() - t0
+                try:
+                    with server._lock:
+                        t0 = time.perf_counter()
+                        samples = server._fn(*args)
+                        dt = time.perf_counter() - t0
+                except ValueError as e:     # e.g. context shape mismatch
+                    self._send_json(400, {"error": str(e)})
+                    return
                     server._stats["requests"] += 1
                     server._stats["generate_s_total"] += dt
                 if fmt == "json":

@@ -107,13 +107,66 @@ def export_generator(model, err_model, params, err_params, *, batch: int,
     return _MAGIC + struct.pack("<I", len(header)) + header + blob
 
 
+def export_win_generator(model, params, *, batch: int, length: int,
+                         platforms: Optional[list[str]] = None,
+                         serve_dtype: Optional[str] = None) -> bytes:
+    """Export a trained W_in-family generator (``WInCRVAE``) as a
+    self-contained artifact.
+
+    Unlike the cold-start CRVAE rollout, the win generation is
+    **context-conditioned** (encode the last τ context steps, then roll —
+    ``CRVAE.py:105-123``), so the exported entry takes TWO arguments:
+    ``fn(seed, context)`` with ``context`` float32 of shape
+    ``(batch, tau, d)`` (longer contexts: slice the last τ steps before
+    calling).  Returns ``(batch, length, d)`` forecasts.
+
+    ``serve_dtype="bfloat16"`` bakes the reduced rollout precision in
+    (the one-pass encoder stays f32; see ``WInCRVAE.generate``).
+    """
+    if serve_dtype is not None and serve_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"serve_dtype must be 'float32' or 'bfloat16', "
+                         f"got {serve_dtype!r}")
+    dtype = jnp.bfloat16 if serve_dtype == "bfloat16" else None
+
+    def fn(seed, context):
+        key = jax.random.key(seed)
+        return model.generate(params, context, key, length, dtype=dtype)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax.export.export(jax.jit(fn), **kwargs)(
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((batch, model.tau, model.d), jnp.float32))
+    blob = exported.serialize()
+    header = json.dumps({
+        "kind": "win_conditioned_generator",
+        "batch": batch,
+        "rollout_len": length,
+        "p": model.d,
+        "hidden": model.hidden,
+        "tau": model.tau,
+        "serve_dtype": serve_dtype or "float32",
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }).encode()
+    return _MAGIC + struct.pack("<I", len(header)) + header + blob
+
+
 def load_generator(source):
     """Load an exported generator artifact.
 
-    ``source``: a path or the artifact bytes.  Returns ``(fn, meta)`` where
-    ``fn(seed) -> np.ndarray`` of shape (batch, rollout_len, p) and ``meta``
-    is the artifact header dict.  Needs only jax — no model code, no
-    checkpoint, no framework state.
+    ``source``: a path or the artifact bytes.  Returns ``(fn, meta)``
+    where ``meta`` is the artifact header dict and ``fn`` depends on
+    ``meta["kind"]``:
+
+    - ``crvae_compensated_generator`` — ``fn(seed) -> np.ndarray`` of
+      shape (batch, rollout_len, p);
+    - ``win_conditioned_generator`` — ``fn(seed, context) -> np.ndarray``
+      with ``context`` array-like of shape (batch, tau, p), returning
+      (batch, rollout_len, p).
+
+    Needs only jax — no model code, no checkpoint, no framework state.
     """
     if isinstance(source, (str, pathlib.Path)):
         data = pathlib.Path(source).read_bytes()
@@ -127,7 +180,20 @@ def load_generator(source):
     meta = json.loads(data[12:12 + hlen].decode())
     exported = jax.export.deserialize(data[12 + hlen:])
 
-    def fn(seed: int) -> np.ndarray:
-        return np.asarray(exported.call(jnp.asarray(seed, jnp.int32)))
+    if meta["kind"] == "win_conditioned_generator":
+        shape = (meta["batch"], meta["tau"], meta["p"])
+
+        def fn(seed: int, context) -> np.ndarray:
+            ctx = jnp.asarray(context, jnp.float32)
+            if ctx.shape != shape:
+                raise ValueError(
+                    f"context shape {ctx.shape} != artifact's {shape} "
+                    f"(batch, tau, p); slice the last tau={meta['tau']} "
+                    f"steps of each series")
+            return np.asarray(exported.call(jnp.asarray(seed, jnp.int32),
+                                            ctx))
+    else:
+        def fn(seed: int) -> np.ndarray:
+            return np.asarray(exported.call(jnp.asarray(seed, jnp.int32)))
 
     return fn, meta
