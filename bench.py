@@ -48,6 +48,8 @@ WORKLOADS = {
     "sweep": dict(p=20, t=2048, context=20, hidden=64, batch=256),
     "longhorizon": dict(p=10, t=4096, context=128, hidden=64, batch=128),
     "xl": dict(p=128, t=8192, context=40, hidden=128, batch=64),
+    # win = henon6d_win's geometry (configs/experiments.py): 2τ windows.
+    "win": dict(p=6, t=3000, context=20, hidden=64, batch=256),
 }
 
 
@@ -123,6 +125,37 @@ def phase2_flops_bytes(p: int, hidden: int, batch: int, ctx: int,
     f1, b1 = phase1_flops_bytes(p, hidden, batch, ctx, enc_len)
     f2, b2 = errvae_flops_bytes(p, hidden, batch, ctx - enc_len)
     return f1 + f2, b1 + b2
+
+
+def win_flops_bytes(d: int, hidden: int, latent: int, tau: int,
+                    batch: int, n_params: int) -> tuple[float, float]:
+    """Analytic (flops, hbm_bytes) per W_in stage-1 training step — same
+    counting conventions as ``phase1_flops_bytes`` (matmul FLOPs ×3 for
+    fwd+bwd; saved-activation + parameter-traffic byte lower bound).
+
+    The win step (``train/win_trainer.py``): encoder GRU over τ past
+    steps, z→h0, the per-head W_in projection (d heads × (B, τ, d)·(d, H)
+    dots — the variant's signature cost), d head GRUs over τ decode steps
+    on the H-dim projected input, readouts, then Adam on everything but
+    W_in (≈9 param passes) and an ISTA prox on W_in (≈4 passes).
+    ``n_params`` is counted from the live pytree (the err-VAE subtree
+    rides in the Adam state even in stage 1)."""
+    H, B, L = hidden, batch, latent
+    enc_cell = 3 * 2 * H * (d + H)
+    head_cell = 3 * 2 * H * (H + H)
+    fwd = B * (
+        tau * enc_cell                        # encoder GRU over x_past
+        + 2 * 2 * H * L + 2 * L * H           # fc_mu, fc_logsig, z2h
+        + d * tau * 2 * d * H                 # W_in projection (d heads)
+        + d * tau * (head_cell + 2 * H)       # head GRUs + readouts
+    )
+    flops = 3 * fwd
+
+    f32 = 4
+    act = 4 * B * H * (tau + d * tau)         # r,z,n,h per GRU cell step
+    act += B * tau * d * H                    # saved x_sel projection
+    hbm = f32 * (2 * act + 9 * n_params + 2 * B * 2 * tau * d)
+    return float(flops), float(hbm)
 
 
 def pick_serve_batch(p: int, hidden: int, vmem_bytes: float = 16 * 2**20,
@@ -207,7 +240,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
     ap.add_argument("--workload",
                     choices=["train", "phase2", "longhorizon", "xl",
-                             "generate", "sweep", "stream"],
+                             "generate", "sweep", "stream", "win"],
                     default="train",
                     help="train = phase-1 steps/sec at p=20 (headline); "
                          "phase2 = generation-phase steps/sec (CRVAE SGD + "
@@ -216,7 +249,9 @@ def main():
                          "xl = p=128; generate = rollout serving throughput; "
                          "sweep = vmapped multi-seed phase-1 (seed-steps/s); "
                          "stream = phase-1 fed from a disk-backed series "
-                         "via the native out-of-core loader")
+                         "via the native out-of-core loader; "
+                         "win = W_in-variant stage-1 ISTA steps/sec "
+                         "(henon6d shape)")
     ap.add_argument("--seeds", type=int, default=8,
                     help="seed count for --workload sweep")
     ap.add_argument("--serve-batch", type=int, default=None,
@@ -254,6 +289,8 @@ def main():
         return bench_sweep(args)
     if args.workload == "stream":
         return bench_stream(args)
+    if args.workload == "win":
+        return bench_win(args)
 
     from vae_connexe_tpu.data import arrange_input, lorenz96
     from vae_connexe_tpu.models import CRVAE
@@ -466,6 +503,68 @@ def bench_phase2(args):
     }
     flops, hbm = phase2_flops_bytes(args.p, args.hidden, args.batch,
                                     args.context)
+    out.update(roofline_fields(steps_per_sec, flops, hbm,
+                               str(jax.devices()[0].device_kind)))
+    print(json.dumps(out))
+
+
+def bench_win(args):
+    """W_in-variant stage-1 steps/sec: one step = teacher-forced forward
+    (encoder GRU + per-head W_in projection + d head GRUs) + backward +
+    Adam on everything but W_in + the ISTA prox on W_in — the reference
+    re-implementation's discovery iteration (``CRVAE.py:153-199``), run
+    through the production jitted epoch-block runner
+    (``WInTrainer._get_run``).  Shape defaults to henon6d_win's geometry;
+    ``--p/--hidden/--batch`` override."""
+    from vae_connexe_tpu.data import coupled_henon, sliding_windows
+    from vae_connexe_tpu.models import WInCRVAE
+    from vae_connexe_tpu.train import WInTrainConfig, WInTrainer
+
+    tau = args.context // 2
+    series = coupled_henon(jax.random.key(0), t=args.t, d=args.p)
+    windows = sliding_windows(series, 2 * tau)
+
+    model = WInCRVAE(d=args.p, hidden=args.hidden, latent=32, tau=tau)
+    cfg = WInTrainConfig(batch_size=args.batch)
+    trainer = WInTrainer(model, cfg)
+    state = trainer.init_state(model.init(jax.random.key(1)),
+                               jax.random.key(2))
+    run = trainer._get_run(stage=1)
+
+    n_batches = windows.shape[0] // args.batch
+    epochs_per_chunk = max(1, 100 // n_batches)
+    steps_per_chunk = epochs_per_chunk * n_batches
+
+    key = jax.random.key(3)
+    m = None
+    for _ in range(args.warmup_chunks):
+        key, k = jax.random.split(key)
+        state, m = run(state, jax.random.split(k, epochs_per_chunk), windows)
+    if m is not None:
+        _ = float(m["loss"][-1])                # device->host sync
+
+    n_chunks = max(1, args.steps // steps_per_chunk)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        key, k = jax.random.split(key)
+        state, m = run(state, jax.random.split(k, epochs_per_chunk), windows)
+    final_loss = float(m["loss"][-1])           # sync (CLAUDE.md timing rule)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_chunks * steps_per_chunk / dt
+    out = {
+        "metric": f"win_stage1_p{args.p}_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "device": str(jax.devices()[0].device_kind),
+        "timed_steps": n_chunks * steps_per_chunk,
+        "batch": args.batch,
+        "final_loss": round(final_loss, 4),
+    }
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    flops, hbm = win_flops_bytes(args.p, args.hidden, model.latent, tau,
+                                 args.batch, n_params)
     out.update(roofline_fields(steps_per_sec, flops, hbm,
                                str(jax.devices()[0].device_kind)))
     print(json.dumps(out))
