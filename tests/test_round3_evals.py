@@ -119,6 +119,8 @@ def test_pick_serve_batch_formula():
     # Lane alignment and clamping at awkward shapes.
     assert pick_serve_batch(128, 128) == 128      # tiny fit -> lo clamp
     assert pick_serve_batch(10, 64) % 128 == 0
-    assert pick_serve_batch(1, 8) == 8192         # huge fit -> hi clamp
+    assert pick_serve_batch(1, 8) == 16384        # huge fit -> hi clamp
+    # bf16 serving halves the per-sample state: the auto batch doubles.
+    assert pick_serve_batch(20, 64, elem_bytes=2) == 6144
     # Monotone: bigger state per sample -> smaller batch.
     assert pick_serve_batch(40, 64) <= pick_serve_batch(20, 64)
