@@ -127,11 +127,11 @@ class GeneratorServer:
                         t0 = time.perf_counter()
                         samples = server._fn(*args)
                         dt = time.perf_counter() - t0
+                        server._stats["requests"] += 1
+                        server._stats["generate_s_total"] += dt
                 except ValueError as e:     # e.g. context shape mismatch
                     self._send_json(400, {"error": str(e)})
                     return
-                    server._stats["requests"] += 1
-                    server._stats["generate_s_total"] += dt
                 if fmt == "json":
                     self._send_json(200, {"seed": seed,
                                           "shape": list(samples.shape),
