@@ -240,13 +240,15 @@ def main():
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
     ap.add_argument("--workload",
                     choices=["train", "phase2", "longhorizon", "xl",
-                             "generate", "sweep", "stream", "win"],
+                             "generate", "latency", "sweep", "stream", "win"],
                     default="train",
                     help="train = phase-1 steps/sec at p=20 (headline); "
                          "phase2 = generation-phase steps/sec (CRVAE SGD + "
                          "error-VAE Adam per step) at p=20; "
                          "longhorizon = ctx=128 fused decode path; "
                          "xl = p=128; generate = rollout serving throughput; "
+                         "latency = single-stream serving latency (ms per "
+                         "compensated rollout at small batch, device-side); "
                          "sweep = vmapped multi-seed phase-1 (seed-steps/s); "
                          "stream = phase-1 fed from a disk-backed series "
                          "via the native out-of-core loader; "
@@ -263,6 +265,13 @@ def main():
                          "samples/s — the peak sits where the rollout's "
                          "hidden-state working set still fits VMEM; past "
                          "it the states spill to HBM and throughput cliffs")
+    ap.add_argument("--serve-kernel", choices=["auto", "lax", "fused"],
+                    default="auto",
+                    help="rollout kernel for --workload latency: fused = "
+                         "one Pallas kernel per rollout (wins at B <= 8, "
+                         "-19%% at B=1), lax = the scanned path (wins at "
+                         "throughput batches), auto = measured crossover "
+                         "(train.crvae_trainer.LATENCY_FUSED_MAX_B)")
     ap.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="rollout precision for --workload generate: "
@@ -283,6 +292,8 @@ def main():
 
     if args.workload == "generate":
         return bench_generate(args)
+    if args.workload == "latency":
+        return bench_latency(args)
     if args.workload == "phase2":
         return bench_phase2(args)
     if args.workload == "sweep":
@@ -695,6 +706,98 @@ def bench_generate(args):
                                                  elem_bytes=elem_bytes)
     out.update(roofline_fields(rates[1], flops, hbm,
                                str(jax.devices()[0].device_kind)))
+    print(json.dumps(out))
+
+
+def bench_latency(args):
+    """Single-stream serving latency: ms per compensated rollout at small
+    batch (default B=1 — one request).
+
+    Two numbers matter for a latency SLO and they are an order of
+    magnitude apart on this runtime:
+
+    - ``device_ms`` — the chip's sequential-chain time per generation,
+      measured by scanning ``n_gens`` generations in ONE dispatch (the
+      scan carry serializes them) and dividing.  This is what the
+      hardware owes you and what batching/continuous-batching schedulers
+      amortize against.
+    - ``e2e_dispatch_ms`` — one un-batched jitted call through the axon
+      relay, i.e. what a naive request→device→response loop would see.
+      The relay's per-dispatch floor (~3.2 ms measured round 2) dominates
+      at small batch, which is exactly why the serving daemon batches.
+
+    The throughput-optimal configuration lives in ``--workload generate``;
+    this workload pins the other end of the latency/throughput frontier.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from vae_connexe_tpu.models import CRVAE, ErrorVAE
+    from vae_connexe_tpu.train import generate_with_compensation
+
+    model = CRVAE(p=args.p, hidden=args.hidden)
+    err = ErrorVAE(d=args.p, hidden=args.hidden)
+    params = model.init(jax.random.key(0))
+    err_params = err.init(jax.random.key(1))
+    parents = jnp.ones((args.p, args.p), jnp.float32)
+    serve_dtype = (jnp.bfloat16 if args.serve_dtype == "bfloat16" else None)
+    batch = args.serve_batch if args.serve_batch else 1
+    kernel = args.serve_kernel if serve_dtype is None else "lax"
+    n_gens = 200
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gen_chain(prms, eprms, key, n):
+        def one(acc, k):
+            out = generate_with_compensation(model, err, prms, eprms, k,
+                                             batch, parents=parents,
+                                             dtype=serve_dtype,
+                                             kernel=kernel)
+            # The carry dependency serializes generations: iteration i+1
+            # cannot start before i's samples exist, so dt/n is the true
+            # per-generation device latency, not overlapped throughput.
+            return acc + out.sum(), None
+        acc, _ = jax.lax.scan(one, jnp.float32(0.0),
+                              jax.random.split(key, n), length=n)
+        return acc
+
+    @jax.jit
+    def gen_one(prms, eprms, key):
+        return generate_with_compensation(model, err, prms, eprms, key,
+                                          batch, parents=parents,
+                                          dtype=serve_dtype,
+                                          kernel=kernel).sum()
+
+    for i in range(6):                                     # relay warmup
+        _ = float(gen_chain(params, err_params, jax.random.key(i), n_gens))
+        _ = float(gen_one(params, err_params, jax.random.key(i)))
+    dev_ms = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = float(gen_chain(params, err_params, jax.random.key(99 + i),
+                            n_gens))
+        dev_ms.append((time.perf_counter() - t0) * 1e3 / n_gens)
+    e2e_ms = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        _ = float(gen_one(params, err_params, jax.random.key(200 + i)))
+        e2e_ms.append((time.perf_counter() - t0) * 1e3)
+    dev_ms.sort()
+    e2e_ms.sort()
+    out = {
+        "metric": f"crvae_p{args.p}_rollout_latency_ms",
+        "value": round(dev_ms[1], 4),                      # median of 3
+        "unit": "ms/generation (device)",
+        "vs_baseline": None,
+        "range": [round(dev_ms[0], 4), round(dev_ms[-1], 4)],
+        "e2e_dispatch_ms_p50": round(e2e_ms[len(e2e_ms) // 2], 3),
+        "rollout_len": model.rollout_len,
+        "batch": batch,
+        "serve_dtype": args.serve_dtype,
+        "serve_kernel": kernel,
+        "gens_per_dispatch": n_gens,
+        "device": str(jax.devices()[0].device_kind),
+    }
     print(json.dumps(out))
 
 

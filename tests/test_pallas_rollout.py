@@ -67,3 +67,41 @@ def test_errvae_sample_parity():
     fused = jnp.concatenate([jnp.zeros((b, 1, p)), fused], axis=1)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_generate_with_compensation_fused_parity():
+    """The adopted latency-serving path (kernel='fused') reproduces the lax
+    path exactly: same RNG draws, kernels individually parity-pinned above,
+    composition pinned here end to end."""
+    from vae_connexe_tpu.train import generate_with_compensation
+
+    p, hidden, b = 4, 8, 8
+    model = CRVAE(p=p, hidden=hidden, rollout_len=6)
+    err = ErrorVAE(d=p, hidden=hidden, rollout_len=6)
+    params = model.init(jax.random.key(0))
+    eparams = err.init(jax.random.key(1))
+    parents = (jax.random.uniform(jax.random.key(9), (p, p)) > 0.3)
+    parents = parents.astype(jnp.float32)
+    key = jax.random.key(2)
+
+    ref = generate_with_compensation(model, err, params, eparams, key, b,
+                                     parents=parents)
+    fused = generate_with_compensation(model, err, params, eparams, key, b,
+                                       parents=parents, kernel="fused",
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_generate_with_compensation_fused_rejects_bf16():
+    import pytest
+
+    from vae_connexe_tpu.train import generate_with_compensation
+
+    model = CRVAE(p=3, hidden=8, rollout_len=4)
+    err = ErrorVAE(d=3, hidden=8, rollout_len=4)
+    with pytest.raises(ValueError, match="float32-only"):
+        generate_with_compensation(model, err, model.init(jax.random.key(0)),
+                                   err.init(jax.random.key(1)),
+                                   jax.random.key(2), 4, kernel="fused",
+                                   dtype=jnp.bfloat16)

@@ -421,11 +421,20 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
     return state.best_params, state.err_params, state, metrics
 
 
+# Measured fused/lax crossover for single-stream serving on v5e
+# (benchmarks/latency_ab.py, round 3): the fused Pallas rollout kernels win
+# at B=1 (0.151 vs 0.187 ms/generation, -19%) and B=8 (-6%), lose from B=16
+# up (XLA's scanned rollout pipelines better once the per-step dots have
+# real width) — so ``kernel="auto"`` serves B <= 8 through the fused chain.
+LATENCY_FUSED_MAX_B = 8
+
+
 def generate_with_compensation(model: CRVAE, err_model: ErrorVAE,
                                params: CRVAEParams, err_params: ErrorVAEParams,
                                key: jax.Array, batch: int,
                                parents: Optional[jax.Array] = None,
-                               dtype=None) -> jax.Array:
+                               dtype=None, kernel: str = "lax",
+                               interpret: bool = False) -> jax.Array:
     """Phase-2 sampling: draw an error sequence from the error VAE and inject
     it (scaled by ``model.noise_scale``) into the free-running rollout
     (``author_CRVAE.py:682-684`` + ``:284-286``).  Returns (B, rollout_len, p).
@@ -433,7 +442,46 @@ def generate_with_compensation(model: CRVAE, err_model: ErrorVAE,
     ``dtype``: optional serving precision for both rollouts (e.g.
     ``jnp.bfloat16``; see ``CRVAE._free_run``).  Output is float32 either
     way; default None keeps the exact float32 path the export-parity tests
-    pin."""
+    pin.
+
+    ``kernel``: ``"lax"`` (default — the scanned path, fastest at
+    throughput batches), ``"fused"`` (single Pallas kernel per rollout,
+    keeps every carry in VMEM for the whole chain — fastest single-stream
+    latency at B <= ``LATENCY_FUSED_MAX_B``), or ``"auto"`` (fused iff
+    f32 and B <= the measured crossover).  RNG draws are identical across
+    kernels, so outputs match to kernel FP (tests/test_pallas_rollout.py).
+    ``interpret`` runs the fused kernels in Pallas interpret mode (CPU
+    tests)."""
+    use_fused = kernel == "fused" or (
+        kernel == "auto" and dtype is None and batch <= LATENCY_FUSED_MAX_B
+        # Same platform gate as ops/dispatch.py: the fused kernels are
+        # Mosaic TPU programs; off-TPU "auto" keeps the lax path (tests
+        # exercise the fused branch explicitly with interpret=True).
+        and (interpret or jax.default_backend() == "tpu"))
+    if use_fused:
+        if dtype is not None:
+            raise ValueError("kernel='fused' serving is float32-only; use "
+                             "the lax path for bf16 throughput serving")
+        from vae_connexe_tpu.models.crvae import masked_heads
+        from vae_connexe_tpu.ops.pallas_rollout import (
+            crvae_free_run_fused,
+            errvae_sample_fused,
+        )
+        k_e, k_r = jax.random.split(key)
+        t = model.rollout_len
+        h0e = jax.random.normal(k_e, (batch, err_model.hidden))  # sample's h0
+        errs = errvae_sample_fused(err_params.dec, err_params.out, h0e,
+                                   err_model.d, t, interpret=interpret)
+        # ErrorVAE.sample keeps the leading zero step; this path slices to
+        # rollout_len exactly like the lax branch below.
+        noise = jnp.concatenate(
+            [jnp.zeros((batch, 1, err_model.d)), errs], axis=1)[:, :t]
+        heads = (params.heads if parents is None
+                 else masked_heads(params.heads, parents))
+        h0 = jax.random.normal(k_r, (batch, model.hidden))  # rollout's h0
+        return crvae_free_run_fused(heads, params.readout,
+                                    jnp.zeros((batch, model.p)), h0, noise,
+                                    model.noise_scale, interpret=interpret)
     k_e, k_r = jax.random.split(key)
     noise = err_model.sample(err_params, k_e, batch, model.rollout_len,
                              dtype=dtype)
