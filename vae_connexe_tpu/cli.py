@@ -275,7 +275,8 @@ def _cmd_export(args):
                                 ckpt["error_vae"], batch=args.batch,
                                 length=args.length,
                                 platforms=args.platforms,
-                                serve_dtype=args.serve_dtype)
+                                serve_dtype=args.serve_dtype,
+                                kernel=args.serve_kernel)
     elif exp.model_family == "win":
         from vae_connexe_tpu.models import WInCRVAE
         from vae_connexe_tpu.serving import export_win_generator
@@ -491,6 +492,14 @@ def main(argv=None):
                      help="bake reduced serving precision into the "
                           "artifact (bfloat16 halves the rollout's VMEM "
                           "working set; output stays float32)")
+    p_x.add_argument("--serve-kernel", choices=["auto", "lax", "fused"],
+                     default="lax",
+                     help="crvae family: rollout kernel to bake — fused = "
+                          "the Pallas chain (single-stream latency winner "
+                          "at batch <= 8, f32, TPU-only lowering); auto = "
+                          "fused iff the batch is under the measured "
+                          "crossover; default lax = portable throughput "
+                          "path")
     p_x.set_defaults(fn=_cmd_export)
 
     p_g = sub.add_parser("generate", help="sample from an exported artifact")

@@ -36,13 +36,43 @@ _MAGIC = b"VCXEXPT1"
 
 
 def _generation_fn(model, err_model, params, err_params, batch: int,
-                   parents, length: Optional[int], dtype=None):
+                   parents, length: Optional[int], dtype=None,
+                   kernel: str = "lax"):
     """seed -> samples; splits the key exactly as
     ``train.generate_with_compensation`` does, so the exported artifact and
     the in-process call with ``jax.random.key(seed)`` produce identical
     samples (pinned in ``tests/test_serving.py``).  ``dtype``: optional
-    serving precision (see ``CRVAE._free_run``) baked into the artifact."""
+    serving precision (see ``CRVAE._free_run``) baked into the artifact.
+    ``kernel="fused"`` bakes the fused Pallas rollout chain (the
+    single-stream latency winner at B <= 8 — RESULTS.md round 3; TPU-only
+    lowering)."""
     steps = model.rollout_len if length is None else length
+
+    if kernel == "fused":
+        from vae_connexe_tpu.models.crvae import masked_heads
+        from vae_connexe_tpu.ops.pallas_rollout import (
+            crvae_free_run_fused,
+            errvae_sample_fused,
+        )
+        heads = (params.heads if parents is None
+                 else masked_heads(params.heads, parents))
+
+        def fn(seed):
+            key = jax.random.key(seed)
+            k_e, k_r = jax.random.split(key)
+            h0e = jax.random.normal(k_e, (batch, err_model.hidden))
+            errs = errvae_sample_fused(err_params.dec, err_params.out, h0e,
+                                       err_model.d, steps)
+            # ErrorVAE.sample keeps a leading zero step; slice to ``steps``
+            # exactly like the lax branch below.
+            noise = jnp.concatenate(
+                [jnp.zeros((batch, 1, err_model.d)), errs], axis=1)[:, :steps]
+            h0 = jax.random.normal(k_r, (batch, model.hidden))
+            return crvae_free_run_fused(heads, params.readout,
+                                        jnp.zeros((batch, model.p)), h0,
+                                        noise, model.noise_scale)
+
+        return fn, steps
 
     def fn(seed):
         key = jax.random.key(seed)
@@ -59,7 +89,8 @@ def _generation_fn(model, err_model, params, err_params, batch: int,
 def export_generator(model, err_model, params, err_params, *, batch: int,
                      parents=None, length: Optional[int] = None,
                      platforms: Optional[list[str]] = None,
-                     serve_dtype: Optional[str] = None) -> bytes:
+                     serve_dtype: Optional[str] = None,
+                     kernel: str = "lax") -> bytes:
     """Export the compensated generator as a self-contained artifact.
 
     Args:
@@ -76,6 +107,11 @@ def export_generator(model, err_model, params, err_params, *, batch: int,
         artifact — ``"bfloat16"`` runs the rollout weights/carries/gate
         math in bf16 (f32 output; see ``CRVAE._free_run``).  Default None
         exports the exact float32 program the parity tests pin.
+      kernel: ``"lax"`` (default — the scanned rollout, the throughput
+        winner), ``"fused"`` (the fused Pallas rollout chain — the
+        single-stream latency winner at B <= 8, f32-only, lowers for TPU
+        only), or ``"auto"`` (fused iff f32 and B <= the measured
+        crossover, ``train.crvae_trainer.LATENCY_FUSED_MAX_B``).
 
     Returns the artifact bytes (write them to a file; ``load_generator``
     reads them back anywhere).
@@ -84,9 +120,28 @@ def export_generator(model, err_model, params, err_params, *, batch: int,
         raise ValueError(f"serve_dtype must be 'float32' or 'bfloat16', "
                          f"got {serve_dtype!r}")
     dtype = jnp.bfloat16 if serve_dtype == "bfloat16" else None
+    if kernel not in ("lax", "fused", "auto"):
+        raise ValueError(f"kernel must be 'lax', 'fused', or 'auto', "
+                         f"got {kernel!r}")
+    if kernel == "auto":
+        from vae_connexe_tpu.train.crvae_trainer import LATENCY_FUSED_MAX_B
+        targets = [t.lower() for t in (platforms or [jax.default_backend()])]
+        kernel = ("fused" if (dtype is None and batch <= LATENCY_FUSED_MAX_B
+                              and targets == ["tpu"])
+                  else "lax")
+    if kernel == "fused":
+        if dtype is not None:
+            raise ValueError("kernel='fused' artifacts are float32-only")
+        targets = platforms or [jax.default_backend()]
+        if any(t.lower() not in ("tpu",) for t in targets):
+            raise ValueError(
+                f"kernel='fused' bakes a Mosaic TPU kernel and only lowers "
+                f"for platforms=['tpu']; got {targets} — export the lax "
+                f"kernel for portable artifacts")
     fn, steps = _generation_fn(model, err_model, params, err_params, batch,
                                None if parents is None else jnp.asarray(
-                                   parents, jnp.float32), length, dtype=dtype)
+                                   parents, jnp.float32), length, dtype=dtype,
+                               kernel=kernel)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
@@ -101,6 +156,7 @@ def export_generator(model, err_model, params, err_params, *, batch: int,
         "hidden": model.hidden,
         "noise_scale": model.noise_scale,
         "serve_dtype": serve_dtype or "float32",
+        "kernel": kernel,
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
     }).encode()
