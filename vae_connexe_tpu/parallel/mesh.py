@@ -15,6 +15,7 @@ the mesh plumbing here is what larger configs (p=128 long-horizon) ride on.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -58,6 +59,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
     """Place a (N, ...) array with its leading axis sharded over dp."""
     return jax.device_put(x, batch_sharding(mesh))
+
+
+def global_device_put(tree, shard_tree):
+    """``device_put`` a pytree onto shardings that may span processes.
+
+    Single-process meshes take the fast path (device-to-device transfer).
+    In a multi-controller run (``jax.distributed``) the target sharding is
+    not fully addressable, and ``jax.device_put`` only accepts HOST values
+    there — each process contributes the shards it owns from its local copy
+    (which multi-controller SPMD guarantees identical across processes).
+    Leaves already carrying the right global sharding pass through.
+
+    Like ``jax.device_put``, ``shard_tree`` may be a *prefix* pytree (one
+    sharding standing in for a whole subtree); it is broadcast to the full
+    structure first.
+    """
+    shard_tree = jax.tree_util.tree_broadcast(shard_tree, tree)
+
+    def put(x, s):
+        if getattr(s, "is_fully_addressable", True):
+            return jax.device_put(x, s)
+        if isinstance(x, jax.Array):
+            if x.sharding == s:
+                return x
+            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                data = jax.device_put(np.asarray(jax.random.key_data(x)), s)
+                return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+            x = np.asarray(x)
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, tree, shard_tree)
 
 
 def shard_crvae_params(params, mesh: Mesh):

@@ -232,6 +232,7 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from vae_connexe_tpu.parallel.mesh import global_device_put
         from vae_connexe_tpu.parallel.sharded import (
             check_mesh_divisibility, phase1_state_sharding)
 
@@ -240,11 +241,12 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
         batch_sharding = NamedSharding(mesh, P("dp"))
         # Commit the closed-over constants to the mesh (replicated windows /
         # parents; the batch gather re-shards its output to dp) so jit never
-        # sees inputs committed to a single device.
-        windows = jax.device_put(windows, rep)
-        parents = jax.device_put(parents, rep)
+        # sees inputs committed to a single device.  ``global_device_put``
+        # handles meshes spanning processes (multi-controller runs).
+        windows = global_device_put(windows, rep)
+        parents = global_device_put(parents, rep)
         if fixed_batch is not None:
-            fixed_batch = jax.device_put(fixed_batch, batch_sharding)
+            fixed_batch = global_device_put(fixed_batch, batch_sharding)
 
     step = make_phase1_step(model, cfg, windows, parents, fixed_batch,
                             batch_sharding=batch_sharding)
@@ -260,7 +262,7 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
             return jax.lax.scan(step, state, None, length=length)
     else:
         state_shard = phase1_state_sharding(mesh, prior is not None)
-        state = jax.device_put(state, state_shard)
+        state = global_device_put(state, state_shard)
 
         @functools.partial(jax.jit, static_argnames=("length",),
                            in_shardings=(state_shard,),
@@ -374,14 +376,15 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from vae_connexe_tpu.parallel.mesh import global_device_put
         from vae_connexe_tpu.parallel.sharded import (
             check_mesh_divisibility, phase2_state_sharding)
 
         check_mesh_divisibility(mesh, model.p, cfg.batch_size)
         rep = NamedSharding(mesh, P())
         batch_sharding = NamedSharding(mesh, P("dp"))
-        windows = jax.device_put(windows, rep)
-        parents = jax.device_put(parents, rep)
+        windows = global_device_put(windows, rep)
+        parents = global_device_put(parents, rep)
 
     err_opt = optax.adam(cfg.lr_error)
     step = make_phase2_step(model, err_model, cfg, windows, parents, err_opt,
@@ -400,7 +403,7 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
             return jax.lax.scan(step, state, None, length=length)
     else:
         state_shard = phase2_state_sharding(mesh, prior is not None)
-        state = jax.device_put(state, state_shard)
+        state = global_device_put(state, state_shard)
 
         @functools.partial(jax.jit, static_argnames=("length",),
                            in_shardings=(state_shard,),
@@ -427,6 +430,14 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
 # up (XLA's scanned rollout pipelines better once the per-step dots have
 # real width) — so ``kernel="auto"`` serves B <= 8 through the fused chain.
 LATENCY_FUSED_MAX_B = 8
+
+
+def _fused_serving_fits(model: CRVAE, err_model: ErrorVAE, batch: int) -> bool:
+    """VMEM feasibility of the fused serving chain at these shapes (lazy
+    import keeps the Pallas module off the non-serving import path)."""
+    from vae_connexe_tpu.ops.pallas_rollout import fused_chain_fits
+    return fused_chain_fits(model.p, model.hidden, model.rollout_len,
+                            err_model.hidden, err_model.d, batch)
 
 
 def generate_with_compensation(model: CRVAE, err_model: ErrorVAE,
@@ -457,7 +468,12 @@ def generate_with_compensation(model: CRVAE, err_model: ErrorVAE,
         # Same platform gate as ops/dispatch.py: the fused kernels are
         # Mosaic TPU programs; off-TPU "auto" keeps the lax path (tests
         # exercise the fused branch explicitly with interpret=True).
-        and (interpret or jax.default_backend() == "tpu"))
+        and (interpret or jax.default_backend() == "tpu")
+        # VMEM feasibility: the B<=8 crossover was measured at the flagship
+        # shape (p=20, H=64); at larger shapes the fused kernels' weight
+        # blocks can exceed the budget — 'auto' must fall back to lax there
+        # rather than raise (explicit kernel='fused' still raises loudly).
+        and _fused_serving_fits(model, err_model, batch))
     if use_fused:
         if dtype is not None:
             raise ValueError("kernel='fused' serving is float32-only; use "
