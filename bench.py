@@ -743,7 +743,20 @@ def bench_latency(args):
     parents = jnp.ones((args.p, args.p), jnp.float32)
     serve_dtype = (jnp.bfloat16 if args.serve_dtype == "bfloat16" else None)
     batch = args.serve_batch if args.serve_batch else 1
-    kernel = args.serve_kernel if serve_dtype is None else "lax"
+    if args.serve_kernel == "fused" and serve_dtype is not None:
+        raise SystemExit("--serve-kernel fused is float32-only; drop "
+                         "--serve-dtype bfloat16 or use the lax kernel")
+    # Resolve 'auto' HERE (same rule generate_with_compensation applies) so
+    # the emitted JSON records the kernel actually measured, not the flag.
+    kernel = args.serve_kernel
+    if kernel == "auto":
+        from vae_connexe_tpu.train.crvae_trainer import (
+            LATENCY_FUSED_MAX_B, _fused_serving_fits)
+        kernel = ("fused" if (serve_dtype is None
+                              and batch <= LATENCY_FUSED_MAX_B
+                              and jax.default_backend() == "tpu"
+                              and _fused_serving_fits(model, err, batch))
+                  else "lax")
     n_gens = 200
 
     @functools.partial(jax.jit, static_argnames=("n",))

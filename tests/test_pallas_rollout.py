@@ -105,3 +105,38 @@ def test_generate_with_compensation_fused_rejects_bf16():
                                    err.init(jax.random.key(1)),
                                    jax.random.key(2), 4, kernel="fused",
                                    dtype=jnp.bfloat16)
+
+
+def test_auto_kernel_vmem_gate():
+    """'auto' dispatch must not pick the fused chain at shapes whose VMEM
+    footprint no batch tile can satisfy (e.g. the xl config p=128, H=128,
+    where the per-head weight block alone exceeds the 12 MiB budget) — it
+    falls back to the lax path instead of raising, while an explicit
+    kernel='fused' still raises loudly."""
+    import pytest
+
+    from vae_connexe_tpu.ops.pallas_rollout import fused_chain_fits
+    from vae_connexe_tpu.train import generate_with_compensation
+    from vae_connexe_tpu.train.crvae_trainer import _fused_serving_fits
+
+    # Flagship shape fits; xl shape does not.
+    assert fused_chain_fits(p=20, hidden=64, rollout_len=21,
+                            err_hidden=64, err_d=20, batch=8)
+    assert not fused_chain_fits(p=128, hidden=128, rollout_len=21,
+                                err_hidden=128, err_d=128, batch=8)
+
+    model = CRVAE(p=128, hidden=128, rollout_len=4)
+    err = ErrorVAE(d=128, hidden=128, rollout_len=4)
+    assert not _fused_serving_fits(model, err, 8)
+    params = model.init(jax.random.key(0))
+    eparams = err.init(jax.random.key(1))
+    # auto (with the interpret platform override) silently takes lax:
+    out = generate_with_compensation(model, err, params, eparams,
+                                     jax.random.key(2), 8, kernel="auto",
+                                     interpret=True)
+    assert out.shape == (8, 4, 128)
+    # explicit fused raises the informative VMEM error:
+    with pytest.raises(ValueError, match="VMEM budget"):
+        generate_with_compensation(model, err, params, eparams,
+                                   jax.random.key(2), 8, kernel="fused",
+                                   interpret=True)

@@ -281,6 +281,10 @@ def _cmd_export(args):
         from vae_connexe_tpu.models import WInCRVAE
         from vae_connexe_tpu.serving import export_win_generator
 
+        if args.serve_kernel != "lax":
+            sys.exit(f"--serve-kernel {args.serve_kernel!r} is not supported "
+                     f"for the win family (context-conditioned export has no "
+                     f"fused kernel); use the default 'lax'")
         model = WInCRVAE(d=exp.p, hidden=exp.hidden, latent=exp.latent,
                          tau=exp.tau)
         params = restore_checkpoint(args.checkpoint,

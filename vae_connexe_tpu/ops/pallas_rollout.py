@@ -66,6 +66,50 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _crvae_fits(bt: int, t_len: int, d: int, p: int, hidden: int) -> bool:
+    """VMEM model for one batch tile of the fused CRVAE rollout kernel."""
+    three_h = 3 * hidden
+    need = (2 * (2 * _blk(t_len, bt, d))                  # noise + out
+            + _blk(bt, d) + _blk(bt, hidden)
+            + _blk(p, d, three_h) + _blk(p, hidden, three_h)
+            + 2 * _blk(p, 1, three_h) + _blk(p, 1, hidden) + _blk(p, 1, 1)
+            + (p + 2) * _blk(bt, hidden))                 # head states
+    return 4 * need <= _VMEM_BUDGET
+
+
+def _errvae_fits(bt: int, t_len: int, d: int, hidden: int) -> bool:
+    """VMEM model for one batch tile of the fused ErrorVAE rollout kernel."""
+    three_h = 3 * hidden
+    need = (2 * _blk(t_len, bt, d) + _blk(bt, hidden)
+            + _blk(d, three_h) + _blk(hidden, three_h)
+            + 2 * _blk(1, three_h) + _blk(hidden, d) + _blk(1, d)
+            + 3 * _blk(bt, hidden))
+    return 4 * need <= _VMEM_BUDGET
+
+
+def _any_bt_fits(b: int, fits) -> bool:
+    """True iff some batch tile of ``b`` passes ``fits`` (the same candidate
+    set ``_smallest_fitting_bt`` searches)."""
+    return any(fits(c) for c in
+               [b] + [v for v in range(b - 1, 0, -1) if b % v == 0 and v % 8 == 0])
+
+
+def fused_chain_fits(p: int, hidden: int, rollout_len: int,
+                     err_hidden: int, err_d: int, batch: int) -> bool:
+    """Whether BOTH fused serving kernels (the ErrorVAE noise rollout and the
+    CRVAE free-run) have a VMEM-feasible batch tile at these shapes.
+
+    ``kernel='auto'`` dispatch must consult this: the measured B<=8 fused
+    win was taken at the flagship shape (p=20, H=64); at larger shapes
+    (e.g. p=128, H=128) the per-head weight block alone exceeds the budget
+    and the fused path would raise where the lax path works fine.
+    """
+    return (_any_bt_fits(batch, lambda bt: _crvae_fits(bt, rollout_len, p, p,
+                                                       hidden))
+            and _any_bt_fits(batch, lambda bt: _errvae_fits(bt, rollout_len,
+                                                            err_d, err_hidden)))
+
+
 # --------------------------------------------------------------------------
 # CRVAE free-run: p heads, shared emitted x feeds every head's next step.
 # --------------------------------------------------------------------------
@@ -105,15 +149,8 @@ def _crvae_rollout(x0, h0, noise_tm, wi, wh, bi, bh, ro_w, ro_b,
     p, _, three_h = wi.shape
     hidden = three_h // 3
 
-    def fits(bt):
-        need = (2 * (2 * _blk(t_len, bt, d))                  # noise + out
-                + _blk(bt, d) + _blk(bt, hidden)
-                + _blk(p, d, three_h) + _blk(p, hidden, three_h)
-                + 2 * _blk(p, 1, three_h) + _blk(p, 1, hidden) + _blk(p, 1, 1)
-                + (p + 2) * _blk(bt, hidden))                 # head states
-        return 4 * need <= _VMEM_BUDGET
-
-    bt = _smallest_fitting_bt(b, fits, "crvae rollout")
+    bt = _smallest_fitting_bt(
+        b, lambda bt: _crvae_fits(bt, t_len, d, p, hidden), "crvae rollout")
 
     kernel = functools.partial(_crvae_kernel, p=p, t_len=t_len,
                                noise_scale=float(noise_scale))
@@ -182,14 +219,8 @@ def _errvae_rollout(h0, wi, wh, bi, bh, ro_w, ro_b, d: int, t_len: int = 0,
     b, hidden = h0.shape
     three_h = wh.shape[1]
 
-    def fits(bt):
-        need = (2 * _blk(t_len, bt, d) + _blk(bt, hidden)
-                + _blk(d, three_h) + _blk(hidden, three_h)
-                + 2 * _blk(1, three_h) + _blk(hidden, d) + _blk(1, d)
-                + 3 * _blk(bt, hidden))
-        return 4 * need <= _VMEM_BUDGET
-
-    bt = _smallest_fitting_bt(b, fits, "errvae rollout")
+    bt = _smallest_fitting_bt(
+        b, lambda bt: _errvae_fits(bt, t_len, d, hidden), "errvae rollout")
 
     kernel = functools.partial(_errvae_kernel, t_len=t_len, d=d)
     tile = lambda *s: pl.BlockSpec(s, lambda j: (0,) * len(s),  # noqa: E731

@@ -124,10 +124,14 @@ def export_generator(model, err_model, params, err_params, *, batch: int,
         raise ValueError(f"kernel must be 'lax', 'fused', or 'auto', "
                          f"got {kernel!r}")
     if kernel == "auto":
-        from vae_connexe_tpu.train.crvae_trainer import LATENCY_FUSED_MAX_B
+        from vae_connexe_tpu.train.crvae_trainer import (
+            LATENCY_FUSED_MAX_B, _fused_serving_fits)
         targets = [t.lower() for t in (platforms or [jax.default_backend()])]
         kernel = ("fused" if (dtype is None and batch <= LATENCY_FUSED_MAX_B
-                              and targets == ["tpu"])
+                              and targets == ["tpu"]
+                              # VMEM feasibility at THESE shapes — the B<=8
+                              # crossover was measured at p=20/H=64 only.
+                              and _fused_serving_fits(model, err_model, batch))
                   else "lax")
     if kernel == "fused":
         if dtype is not None:
