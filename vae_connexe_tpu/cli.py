@@ -66,6 +66,8 @@ def _cmd_run(args):
                              artifacts_every=args.artifacts_every,
                              mesh=mesh,
                              out_of_core=args.out_of_core,
+                             checkpoint_every=args.checkpoint_every,
+                             resume=args.resume,
                              verbose=not args.quiet)
     print(json.dumps(results, indent=2, default=str))
 
@@ -372,6 +374,17 @@ def main(argv=None):
     p_run.add_argument("--no-phase2", action="store_true")
     p_run.add_argument("--save-checkpoints", action="store_true",
                        help="write orbax checkpoints (+GC companion) to --out-dir")
+    p_run.add_argument("--checkpoint-every", type=int, default=None,
+                       dest="checkpoint_every", metavar="N",
+                       help="snapshot the full mid-phase training state "
+                            "every N steps under --out-dir (crvae family); "
+                            "a killed run restarts with --resume, bitwise "
+                            "equal to the uninterrupted run")
+    p_run.add_argument("--resume", action="store_true",
+                       help="restore the latest mid-phase checkpoint under "
+                            "--out-dir and continue (completed phases are "
+                            "pure restores); composes with --mesh and "
+                            "--out-of-core")
     p_run.add_argument("--artifacts-every", type=int, default=None,
                        help="phase-2: save samples + PCA/trajectory plots "
                             "every N iterations (needs --out-dir)")

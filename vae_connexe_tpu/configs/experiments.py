@@ -244,6 +244,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                    artifacts_every: int | None = None,
                    mesh=None,
                    out_of_core: bool = False,
+                   checkpoint_every: int | None = None,
+                   resume: bool = False,
                    log_fn=print) -> dict[str, Any]:
     """Execute a named experiment end to end.  Returns the metrics dict.
 
@@ -268,6 +270,13 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
     that need a window block use the first ``min(4096, n)`` windows (at the
     committed configs that is all of them).  Composes with ``mesh``: each
     streamed chunk lands batch-sharded over dp.
+
+    ``checkpoint_every=N`` (requires ``out_dir``; CRVAE family) snapshots the
+    full training state of whichever phase is running every N steps under
+    ``out_dir/ckpt_mid_phase{1,2}``; ``resume=True`` restores the latest
+    snapshot and continues — a killed-and-resumed run equals the
+    uninterrupted one bitwise (a completed phase is a pure restore, no
+    retraining).  Composes with ``mesh`` and ``out_of_core``.
     """
     exp = get_experiment(name)
     if mesh is not None and exp.model_family != "crvae":
@@ -278,6 +287,13 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         raise ValueError(
             f"--out-of-core supports the crvae family (streaming trainers); "
             f"{name!r} is {exp.model_family!r}")
+    if (checkpoint_every or resume) and exp.model_family != "crvae":
+        raise ValueError(
+            f"--checkpoint-every/--resume support the crvae family "
+            f"(two-phase trainer); {name!r} is {exp.model_family!r}")
+    if (checkpoint_every or resume) and not out_dir:
+        raise ValueError("--checkpoint-every/--resume require --out-dir "
+                         "(checkpoints live under it)")
     if overrides:
         exp = dataclasses.replace(exp, **overrides)
     key = jax.random.key(seed)
@@ -312,6 +328,13 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 return None
             return lambda step, state, metrics: log_writer.write(
                 step, {"phase": phase, **metrics})
+
+        def ckpt_kw(phase):
+            if not (checkpoint_every or resume):
+                return {}
+            return {"checkpoint_dir": str(out / f"ckpt_mid_{phase}"),
+                    "checkpoint_every": checkpoint_every or 0,
+                    "resume": resume}
         loader = None
         if out_of_core:
             import tempfile
@@ -329,7 +352,7 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             best, state, m1 = fit_phase1_streaming(
                 model, params, loader, exp.context, full, exp.phase1, k_run,
                 verbose=verbose, log_fn=log_fn, callback=_log_phase("phase1"),
-                mesh=mesh)
+                mesh=mesh, **ckpt_kw("phase1"))
             # Bounded window block for the eval/figure surfaces below —
             # identical to the in-memory windows' head (gather parity is
             # pinned in tests/test_native_loader.py).
@@ -341,7 +364,8 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
             best, state, m1 = fit_phase1(model, params, windows, full,
                                          exp.phase1, k_run, verbose=verbose,
                                          log_fn=log_fn, mesh=mesh,
-                                         callback=_log_phase("phase1"))
+                                         callback=_log_phase("phase1"),
+                                         **ckpt_kw("phase1"))
         scores = model.gc(best, threshold=False)
         gc_est = model.gc(best, threshold=True)
         results["phase1"] = m1
@@ -436,14 +460,16 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
                 best2, err2, _, m2 = fit_phase2_streaming(
                     model, err_model, p2_params, err_params, loader,
                     exp.context, mask, exp.phase2, k_p2, verbose=verbose,
-                    log_fn=log_fn, callback=p2_cb, mesh=mesh)
+                    log_fn=log_fn, callback=p2_cb, mesh=mesh,
+                    **ckpt_kw("phase2"))
             else:
                 best2, err2, _, m2 = fit_phase2(model, err_model, p2_params,
                                                 err_params, windows, mask,
                                                 exp.phase2, k_p2,
                                                 verbose=verbose,
                                                 log_fn=log_fn,
-                                                callback=p2_cb, mesh=mesh)
+                                                callback=p2_cb, mesh=mesh,
+                                                **ckpt_kw("phase2"))
             results["phase2"] = m2
             gen = generate_with_compensation(model, err_model, best2, err2,
                                              k_gen, 256, parents=mask)

@@ -119,6 +119,52 @@ def _copy_tree(tree):
     return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
 
 
+def _make_checkpointer(checkpoint_dir, checkpoint_every):
+    if checkpoint_dir is None:
+        return None
+    from vae_connexe_tpu.utils.checkpoint import TrainCheckpointer
+    return TrainCheckpointer(checkpoint_dir, checkpoint_every)
+
+
+def _run_chunked(run_chunk, state, cfg, ckpt, resume_metrics, verbose,
+                 log_fn, callback, phase: str):
+    """The shared resume-aware chunk loop of both fits.
+
+    ``state.step`` may be non-zero (a restored mid-phase checkpoint): chunks
+    the uninterrupted run already executed are skipped, and the remaining
+    ones re-run from the exact carried state the uninterrupted run had at
+    that boundary — so a killed-and-resumed fit is **bitwise** the
+    uninterrupted fit (pinned in tests/test_resume.py).  Checkpoints only
+    ever land on chunk boundaries, so a restored step that is not a prefix
+    sum of the chunk lengths means the config changed between runs — raise
+    rather than silently train a different schedule.
+    """
+    start = int(state.step)
+    metrics = dict(resume_metrics) if resume_metrics else {}
+    done = 0
+    for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
+        end = done + length
+        if end <= start:
+            done = end
+            continue
+        if done < start:
+            raise ValueError(
+                f"resumed step {start} is not a chunk boundary of "
+                f"check_every={cfg.check_every} / max_iter={cfg.max_iter} — "
+                f"the config changed since the checkpoint was written")
+        done = end
+        state, chunk_metrics = run_chunk(state, length)
+        metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+        if ckpt is not None:
+            ckpt.maybe_save(state, metrics, final=(done == cfg.max_iter))
+        if verbose:
+            log_fn(f"[{phase} it={int(state.step)}] "
+                   + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+        if callback is not None:
+            callback(int(state.step), state, metrics)
+    return state, metrics
+
+
 def _track_best(state, candidate_params, mean_loss):
     """Snapshot ``candidate_params`` when ``mean_loss`` improves.
 
@@ -201,7 +247,9 @@ def make_phase1_step(model: CRVAE, cfg: Phase1Config, windows: jax.Array,
 
 def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
                parents: jax.Array, cfg: Phase1Config, key: jax.Array,
-               verbose: bool = False, log_fn=print, callback=None, mesh=None):
+               verbose: bool = False, log_fn=print, callback=None, mesh=None,
+               checkpoint_dir: Optional[str] = None,
+               checkpoint_every: int = 0, resume: bool = False):
     """Run phase 1; returns (best-restored params, final state, last metrics).
 
     The whole ``max_iter`` loop runs as jitted scan chunks of ``check_every``
@@ -216,6 +264,14 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
     chunks.  Identical results to the single-device fit (same keys, same
     gathers) up to reduction-order rounding; the reference has no distributed
     path to mirror (``/root/reference/author_CRVAE.py:18``).
+
+    ``checkpoint_dir`` enables mid-phase checkpointing: the full state saves
+    every ``checkpoint_every`` steps (at chunk boundaries) and at the final
+    step; ``resume=True`` restores the latest snapshot — if one exists — and
+    re-runs only the remaining chunks, **bitwise** equal to the uninterrupted
+    fit.  A resumed already-complete phase is a pure restore.  The reference
+    has no weight checkpointing at all (SURVEY.md §5; its only resilience is
+    the in-memory deepcopy at ``author_CRVAE.py:547-561``).
     """
     prior = None
     if cfg.latent_reg == "cs":
@@ -255,6 +311,13 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
                         best_loss=jnp.array(jnp.inf), key=_copy_tree(key),
                         step=jnp.zeros([], jnp.int32))
 
+    ckpt = _make_checkpointer(checkpoint_dir, checkpoint_every)
+    resume_metrics = None
+    if ckpt is not None and resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, resume_metrics = restored
+
     if mesh is None:
         @functools.partial(jax.jit, static_argnames=("length",),
                            donate_argnums=(0,))
@@ -271,17 +334,9 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
 
-    metrics = {}
-    for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
-        state, chunk_metrics = run_chunk(state, length)
-        metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
-        if verbose:
-            log_fn(f"[phase1 it={int(state.step)}] "
-                   + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
-        if callback is not None:
-            callback(int(state.step), state, metrics)
-    restored = state.best_params
-    return restored, state, metrics
+    state, metrics = _run_chunked(run_chunk, state, cfg, ckpt, resume_metrics,
+                                  verbose, log_fn, callback, "phase1")
+    return state.best_params, state, metrics
 
 
 # --------------------------------------------------------------------------
@@ -356,7 +411,9 @@ def make_phase2_step(model: CRVAE, err_model: ErrorVAE, cfg: Phase2Config,
 def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
                err_params: ErrorVAEParams, windows: jax.Array,
                parents: jax.Array, cfg: Phase2Config, key: jax.Array,
-               verbose: bool = False, log_fn=print, callback=None, mesh=None):
+               verbose: bool = False, log_fn=print, callback=None, mesh=None,
+               checkpoint_dir: Optional[str] = None,
+               checkpoint_every: int = 0, resume: bool = False):
     """Run phase 2; returns (best params, err params, final state, metrics).
 
     ``callback(step, state, metrics)`` fires once per chunk — use it to
@@ -366,6 +423,11 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
     ``mesh`` runs the loop mesh-sharded as in ``fit_phase1`` (the error VAE
     and its Adam state stay replicated — it is tiny; its gradients reduce
     over dp via the psum pjit inserts).
+
+    ``checkpoint_dir`` / ``checkpoint_every`` / ``resume`` as in
+    ``fit_phase1`` — the snapshot carries the CRVAE params, error-VAE params
+    AND Adam state, prior, best tracking, PRNG key and step, so the resumed
+    fit is bitwise the uninterrupted one.
     """
     prior = None
     if cfg.latent_reg == "cs":
@@ -396,6 +458,13 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
                         best_loss=jnp.array(jnp.inf),
                         key=_copy_tree(key), step=jnp.zeros([], jnp.int32))
 
+    ckpt = _make_checkpointer(checkpoint_dir, checkpoint_every)
+    resume_metrics = None
+    if ckpt is not None and resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, resume_metrics = restored
+
     if mesh is None:
         @functools.partial(jax.jit, static_argnames=("length",),
                            donate_argnums=(0,))
@@ -412,15 +481,8 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
 
-    metrics = {}
-    for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
-        state, chunk_metrics = run_chunk(state, length)
-        metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
-        if verbose:
-            log_fn(f"[phase2 it={int(state.step)}] "
-                   + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
-        if callback is not None:
-            callback(int(state.step), state, metrics)
+    state, metrics = _run_chunked(run_chunk, state, cfg, ckpt, resume_metrics,
+                                  verbose, log_fn, callback, "phase2")
     return state.best_params, state.err_params, state, metrics
 
 

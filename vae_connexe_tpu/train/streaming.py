@@ -79,6 +79,29 @@ def _io_chunks(max_iter: int, check_every: int, step_bytes: int,
     return groups
 
 
+def _skip_resumed_groups(groups: list[list[int]], start: int,
+                         cfg) -> list[tuple[list[int], int]]:
+    """Drop the check_every groups a resumed run already executed; return
+    the remaining ones paired with their cumulative end step.  Checkpoints
+    land on group boundaries, so a restored step inside a group means the
+    config changed — raise, as ``_run_chunked`` does."""
+    remaining = []
+    cum = 0
+    for group in groups:
+        end = cum + sum(group)
+        if end <= start:
+            cum = end
+            continue
+        if cum < start:
+            raise ValueError(
+                f"resumed step {start} is not a group boundary of "
+                f"check_every={cfg.check_every} / max_iter={cfg.max_iter} — "
+                f"the config changed since the checkpoint was written")
+        remaining.append((group, end))
+        cum = end
+    return remaining
+
+
 def _gather_chunk(loader: NativeWindowLoader, idxs: np.ndarray,
                   context: int) -> np.ndarray:
     """(length, B) start indices -> (length, B, context, p) float32 block via
@@ -108,9 +131,17 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                          key: jax.Array, n_windows: Optional[int] = None,
                          verbose: bool = False, log_fn=print, callback=None,
                          io_budget_bytes: int = 128 << 20, mesh=None,
-                         io_stats: Optional[dict] = None):
+                         io_stats: Optional[dict] = None,
+                         checkpoint_dir: Optional[str] = None,
+                         checkpoint_every: int = 0, resume: bool = False):
     """Phase 1 with host-streamed minibatches; bitwise ≡ ``fit_phase1`` run
     on ``arrange_input(series, context)[0]`` of the same series and key.
+
+    ``checkpoint_dir`` / ``checkpoint_every`` / ``resume``: mid-phase
+    checkpointing as in ``fit_phase1``.  Snapshots land on check_every group
+    boundaries; on resume the host key mirror restarts from the restored
+    ``state.key``, so the streamed batches — and therefore the resumed fit —
+    are bitwise the uninterrupted run's.
 
     ``io_stats``, if given, is filled with prefetch accounting:
     ``gather_wait_s`` (wall time the loop blocked on the next host block —
@@ -181,27 +212,35 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                         best_params=_copy_tree(params),
                         best_loss=jnp.array(jnp.inf), key=_copy_tree(key),
                         step=jnp.zeros([], jnp.int32))
+    from vae_connexe_tpu.train.crvae_trainer import (_make_checkpointer,
+                                                     _run_chunked)
+    ckpt = _make_checkpointer(checkpoint_dir, checkpoint_every)
+    resume_metrics = None
+    if ckpt is not None and resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, resume_metrics = restored
     if mesh is not None:
         state = jax.device_put(state, state_shard)
 
-    metrics = {}
     if not cfg.resample_batches:
-        for length in _chunk_lengths(cfg.max_iter, cfg.check_every):
-            state, chunk_metrics = run_fixed(state, length)
-            metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
-            if verbose:
-                log_fn(f"[phase1 it={int(state.step)}] "
-                       + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
-            if callback is not None:
-                callback(int(state.step), state, metrics)
+        state, metrics = _run_chunked(run_fixed, state, cfg, ckpt,
+                                      resume_metrics, verbose, log_fn,
+                                      callback, "phase1")
         return state.best_params, state, metrics
 
     step_bytes = cfg.batch_size * context * model.p * 4
     groups = _io_chunks(cfg.max_iter, cfg.check_every, step_bytes,
                         io_budget_bytes)
-    flat = [length for group in groups for length in group]
+    remaining = _skip_resumed_groups(groups, int(state.step), cfg)
+    flat = [length for group, _ in remaining for length in group]
 
-    mirror_key = key
+    # The host key mirror starts from the CURRENT state key — the initial
+    # key on a fresh fit, the restored one on resume — so the streamed
+    # batches continue the device chain exactly.  (state.key is only read
+    # here, before any donating run_chunk call.)
+    mirror_key = state.key
+    metrics = dict(resume_metrics) if resume_metrics else {}
     gather_wait = 0.0
     with ThreadPoolExecutor(1) as pool:
         def prepare(mk, length):
@@ -212,7 +251,7 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
         if flat:
             mirror_key, fut = prepare(mirror_key, flat[0])
         i = 0
-        for group in groups:
+        for group, end in remaining:
             for _ in group:
                 t0 = time.perf_counter()
                 batches = fut.result()
@@ -224,6 +263,8 @@ def fit_phase1_streaming(model: CRVAE, params: CRVAEParams,
                 # axis over dp on a mesh; device 0 otherwise).
                 state, chunk_metrics = run_chunk(state, batches)
             metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+            if ckpt is not None:
+                ckpt.maybe_save(state, metrics, final=(end == cfg.max_iter))
             if verbose:
                 log_fn(f"[phase1 it={int(state.step)}] "
                        + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
@@ -240,11 +281,15 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
                          parents: jax.Array, cfg: Phase2Config,
                          key: jax.Array, n_windows: Optional[int] = None,
                          verbose: bool = False, log_fn=print, callback=None,
-                         io_budget_bytes: int = 128 << 20, mesh=None):
+                         io_budget_bytes: int = 128 << 20, mesh=None,
+                         checkpoint_dir: Optional[str] = None,
+                         checkpoint_every: int = 0, resume: bool = False):
     """Phase 2 with host-streamed minibatches; bitwise ≡ ``fit_phase2`` on
     the same series/key (the phase-2 step always resamples).  ``mesh`` as in
     ``fit_phase1_streaming`` (chunk batches land dp-sharded; the error VAE
-    stays replicated, its gradients psum over dp)."""
+    stays replicated, its gradients psum over dp).  ``checkpoint_dir`` /
+    ``checkpoint_every`` / ``resume``: mid-phase checkpointing as in
+    ``fit_phase1_streaming``."""
     if n_windows is None:
         n_windows = loader.t - context
 
@@ -280,16 +325,26 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
                         best_params=_copy_tree(params),
                         best_loss=jnp.array(jnp.inf),
                         key=_copy_tree(key), step=jnp.zeros([], jnp.int32))
+    from vae_connexe_tpu.train.crvae_trainer import _make_checkpointer
+    ckpt = _make_checkpointer(checkpoint_dir, checkpoint_every)
+    resume_metrics = None
+    if ckpt is not None and resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, resume_metrics = restored
     if mesh is not None:
         state = jax.device_put(state, state_shard)
 
     step_bytes = cfg.batch_size * context * model.p * 4
     groups = _io_chunks(cfg.max_iter, cfg.check_every, step_bytes,
                         io_budget_bytes)
-    flat = [length for group in groups for length in group]
+    remaining = _skip_resumed_groups(groups, int(state.step), cfg)
+    flat = [length for group, _ in remaining for length in group]
 
-    mirror_key = key
-    metrics = {}
+    # Host mirror continues the device chain from the current state key
+    # (read before any donating run_chunk call) — see fit_phase1_streaming.
+    mirror_key = state.key
+    metrics = dict(resume_metrics) if resume_metrics else {}
     with ThreadPoolExecutor(1) as pool:
         def prepare(mk, length):
             mk, idxs = _index_chunk(mk, length, cfg.batch_size, n_windows, 4)
@@ -299,7 +354,7 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
         if flat:
             mirror_key, fut = prepare(mirror_key, flat[0])
         i = 0
-        for group in groups:
+        for group, end in remaining:
             for _ in group:
                 batches = fut.result()
                 i += 1
@@ -309,6 +364,8 @@ def fit_phase2_streaming(model: CRVAE, err_model: ErrorVAE,
                 # axis over dp on a mesh; device 0 otherwise).
                 state, chunk_metrics = run_chunk(state, batches)
             metrics = {k: float(v[-1]) for k, v in chunk_metrics.items()}
+            if ckpt is not None:
+                ckpt.maybe_save(state, metrics, final=(end == cfg.max_iter))
             if verbose:
                 log_fn(f"[phase2 it={int(state.step)}] "
                        + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
