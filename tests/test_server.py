@@ -74,8 +74,88 @@ def test_generate_json_and_stats(server):
     assert list(arr.shape) == body["shape"]
     assert np.isfinite(arr).all()
     _, meta = _get(srv, "/meta")
-    assert meta["requests"] >= 2
-    assert meta["mean_generate_ms"] > 0
+    assert meta["requests"] >= 1
+    assert meta["generate_ms"]["mean"] > 0
+    # Latency percentiles over the sliding window, ordered as percentiles.
+    g = meta["generate_ms"]
+    assert g["p50"] <= g["p95"] <= g["p99"]
+    assert g["window"] == meta["requests"]
+    # Queue depth is instantaneous; with no in-flight request it is 0.
+    assert meta["queue_depth"] == 0
+
+
+def test_n_samples_slice_and_loop(server):
+    """n_samples below the baked batch slices it; above, the daemon loops
+    deterministic sub-seeds — same (seed, n) always returns the same
+    tensor, and the first batch rows equal the plain seed-0 call."""
+    srv, blob = server
+    with _post(srv, "/generate", {"seed": 3, "n_samples": 2}) as r:
+        small = np.load(io.BytesIO(r.read()))
+    assert small.shape[0] == 2
+    fn, meta = load_generator(blob)
+    np.testing.assert_array_equal(small, fn(3)[:2])
+
+    n_big = meta["batch"] + 4
+    with _post(srv, "/generate", {"seed": 3, "n_samples": n_big}) as r:
+        big1 = np.load(io.BytesIO(r.read()))
+    with _post(srv, "/generate", {"seed": 3, "n_samples": n_big}) as r:
+        big2 = np.load(io.BytesIO(r.read()))
+    assert big1.shape[0] == n_big
+    np.testing.assert_array_equal(big1, big2)
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/generate", {"n_samples": 0})
+    assert ei.value.code == 400
+
+
+def test_multi_artifact_routing():
+    """One daemon, several artifacts: named routes, /artifacts listing,
+    per-route stats, default route = first artifact."""
+    p = 3
+    model, err = CRVAE(p=p, hidden=8), ErrorVAE(d=p, hidden=8)
+    blob_a = export_generator(model, err, model.init(jax.random.key(0)),
+                              err.init(jax.random.key(1)), batch=4)
+    blob_b = export_generator(model, err, model.init(jax.random.key(2)),
+                              err.init(jax.random.key(3)), batch=2)
+    srv = GeneratorServer({"big": blob_a, "small": blob_b})
+    srv.start()
+    try:
+        _, arts = _get(srv, "/artifacts")
+        assert arts["default"] == "big"
+        assert set(arts["artifacts"]) == {"big", "small"}
+        assert arts["artifacts"]["small"]["batch"] == 2
+
+        with _post(srv, "/generate/small", {"seed": 7}) as r:
+            s = np.load(io.BytesIO(r.read()))
+        assert s.shape[0] == 2
+        with _post(srv, "/generate", {"seed": 7}) as r:   # default = big
+            b = np.load(io.BytesIO(r.read()))
+        assert b.shape[0] == 4
+        fn_b, _ = load_generator(blob_b)
+        np.testing.assert_array_equal(s, fn_b(7))
+
+        _, meta_small = _get(srv, "/meta/small")
+        assert meta_small["artifact"] == "small"
+        assert meta_small["requests"] == 1
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/generate/nope", {})
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_unknown_artifact_kind_rejected():
+    """load_generator must raise on unknown kinds, not fall through to the
+    seed-only calling convention."""
+    import struct
+
+    from vae_connexe_tpu.serving import _MAGIC
+
+    header = json.dumps({"kind": "mystery_generator"}).encode()
+    blob = _MAGIC + struct.pack("<I", len(header)) + header + b""
+    with pytest.raises(ValueError, match="unknown artifact kind"):
+        load_generator(blob)
 
 
 def test_error_paths(server):

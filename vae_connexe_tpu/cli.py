@@ -305,12 +305,14 @@ def _cmd_export(args):
 
 
 def _cmd_serve(args):
-    """Run the HTTP serving daemon on an exported artifact."""
+    """Run the HTTP serving daemon on one or more exported artifacts."""
     from vae_connexe_tpu.server import GeneratorServer
 
-    srv = GeneratorServer(args.artifact, host=args.host, port=args.port)
+    arts = args.artifact if len(args.artifact) > 1 else args.artifact[0]
+    srv = GeneratorServer(arts, host=args.host, port=args.port)
     print(json.dumps({"serving": args.artifact, "host": srv.host,
                       "port": srv.port, "batch": srv.meta["batch"],
+                      "routes": sorted(srv._artifacts),
                       "serve_dtype": srv.meta.get("serve_dtype", "float32"),
                       "warmup_s": round(srv._warmup_s, 3)}))
     try:
@@ -528,10 +530,15 @@ def main(argv=None):
                           "context-conditioned (win-family) artifacts")
     p_g.set_defaults(fn=_cmd_generate)
 
-    p_s = sub.add_parser("serve", help="HTTP serving daemon for an exported "
-                                       "artifact (GET /healthz /meta, "
-                                       "POST /generate)")
-    p_s.add_argument("artifact", help=".vcx path from cli export")
+    p_s = sub.add_parser("serve", help="HTTP serving daemon for exported "
+                                       "artifacts (GET /healthz /artifacts "
+                                       "/meta[/<name>], POST "
+                                       "/generate[/<name>] with optional "
+                                       "n_samples)")
+    p_s.add_argument("artifact", nargs="+",
+                     help=".vcx path(s) from cli export; the first is the "
+                          "default route, each is also served at "
+                          "/generate/<file-stem>")
     p_s.add_argument("--host", default="127.0.0.1")
     p_s.add_argument("--port", type=int, default=8799)
     p_s.set_defaults(fn=_cmd_serve)

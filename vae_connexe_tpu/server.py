@@ -1,4 +1,4 @@
-"""Minimal production serving daemon for exported generator artifacts.
+"""Production serving daemon for exported generator artifacts.
 
 Completes the deployment story the reference lacks entirely (its
 "serving" is re-running a notebook cell — SURVEY.md §5): train →
@@ -6,28 +6,38 @@ Completes the deployment story the reference lacks entirely (its
 (this module) → HTTP clients.  Stdlib-only (``http.server``): no web
 framework to vendor, nothing to install on the serving host beyond jax.
 
-Endpoints:
+One daemon serves ONE OR MORE artifacts (e.g. a B=6144 bf16 throughput
+artifact next to a B<=8 fused low-latency one — the two ends of the
+measured serving frontier, RESULTS.md):
 
-- ``GET /healthz``  → ``{"ok": true}`` once the artifact is warm.
-- ``GET /meta``     → the artifact header (model geometry, batch,
-  rollout_len, serve_dtype, platforms) + serving stats.
-- ``POST /generate`` with JSON body ``{"seed": <int>, "format":
-  "npy"|"json"}`` → one compensated-rollout batch.  ``"npy"`` (default)
-  streams an ``application/x-npy`` body (``np.load``-able); ``"json"``
-  returns the nested list.  Deterministic per seed — the artifact's
-  calling convention (pinned in ``tests/test_serving.py``).
-  Context-conditioned (win-family) artifacts additionally require
-  ``"context"``: a nested list of shape (batch, tau, p) — the last τ
-  steps of each series to forecast from.
+- ``GET /healthz``          → ``{"ok": true}`` once every artifact is warm.
+- ``GET /artifacts``        → the route names and core geometry.
+- ``GET /meta[/<name>]``    → artifact header (model geometry, batch,
+  rollout_len, serve_dtype, platforms) + serving stats: request count,
+  queue depth (requests currently waiting on or holding the dispatch
+  lock), and generate-latency percentiles (p50/p95/p99/mean over a
+  sliding window of the last 1024 dispatches).
+- ``POST /generate[/<name>]`` with JSON body ``{"seed": <int>,
+  "n_samples": <int>, "format": "npy"|"json"}`` → compensated-rollout
+  samples.  ``n_samples`` defaults to the artifact's baked batch; smaller
+  values slice the generated batch, larger ones loop it over sub-seeds
+  derived deterministically from ``seed`` (``np.random.SeedSequence`` —
+  the same (seed, n_samples) always returns the same samples).  ``"npy"``
+  (default) streams an ``application/x-npy`` body (``np.load``-able);
+  ``"json"`` returns the nested list.  Context-conditioned (win-family)
+  artifacts additionally require ``"context"``: a nested list of shape
+  (batch, tau, p) — the last τ steps of each series to forecast from.
 
-Dispatch is serialized with a lock: one TPU program, one queue — the
-batch dimension (baked into the artifact, ``bench.pick_serve_batch``)
-is the throughput lever, not concurrent dispatch, and serialization
-keeps per-request latency predictable.
+Dispatch is serialized with one lock shared across artifacts: one TPU,
+one queue — the baked batch dimension (``bench.pick_serve_batch``) is the
+throughput lever, not concurrent dispatch, and serialization keeps
+per-request latency predictable.  ``queue_depth`` in ``/meta`` is the
+backpressure signal.
 """
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import threading
@@ -38,29 +48,90 @@ import numpy as np
 
 from vae_connexe_tpu.serving import load_generator
 
+_LAT_WINDOW = 1024
+
+
+class _Artifact:
+    """One loaded generator + its per-route serving stats."""
+
+    def __init__(self, source, name: str):
+        self.name = name
+        self.fn, self.meta = load_generator(source)
+        self.needs_context = self.meta["kind"] == "win_conditioned_generator"
+        self.requests = 0
+        self.latencies = collections.deque(maxlen=_LAT_WINDOW)
+
+    def warm(self) -> float:
+        """First call pays the deserialized program's device load."""
+        t0 = time.perf_counter()
+        if self.needs_context:
+            self.fn(0, np.zeros((self.meta["batch"], self.meta["tau"],
+                                 self.meta["p"]), np.float32))
+        else:
+            self.fn(0)
+        return time.perf_counter() - t0
+
+    def stats(self) -> dict:
+        lat = np.asarray(self.latencies, np.float64)
+        pct = (lambda q: round(1e3 * float(np.percentile(lat, q)), 3)) \
+            if lat.size else (lambda q: None)
+        return {
+            "requests": self.requests,
+            "generate_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99),
+                            "mean": (round(1e3 * float(lat.mean()), 3)
+                                     if lat.size else None),
+                            "window": int(lat.size)},
+        }
+
+
+def _sub_seeds(seed: int, k: int) -> list[int]:
+    """k deterministic int32 sub-seeds for multi-batch requests — the same
+    (seed, n_samples) always yields the same sample tensor."""
+    if k == 1:
+        return [int(seed)]
+    return [int(s) for s in
+            np.random.SeedSequence(int(seed)).generate_state(k) >> 1]
+
 
 class GeneratorServer:
-    """Serve one exported generator artifact over HTTP.
+    """Serve one or more exported generator artifacts over HTTP.
+
+    ``artifacts``: a single source (path / bytes) or a list of paths /
+    ``{name: source}`` dict.  With several artifacts, the first is the
+    default route (``/generate``) and each is also addressable as
+    ``/generate/<name>`` (names default to the file stem).
 
     ``port=0`` picks a free port (read it back from ``.port`` — the test
     harness pattern).  ``start()`` spawns the accept loop in a daemon
     thread; ``serve_forever()`` blocks (the CLI path).
     """
 
-    def __init__(self, artifact, host: str = "127.0.0.1", port: int = 0):
-        self._fn, self.meta = load_generator(artifact)
-        self._needs_context = self.meta["kind"] == "win_conditioned_generator"
-        self._lock = threading.Lock()
-        self._stats = {"requests": 0, "generate_s_total": 0.0}
-        # Warm the executable before accepting traffic: the first call
-        # pays the deserialized program's device load.
-        t0 = time.perf_counter()
-        if self._needs_context:
-            self._fn(0, np.zeros((self.meta["batch"], self.meta["tau"],
-                                  self.meta["p"]), np.float32))
+    def __init__(self, artifacts, host: str = "127.0.0.1", port: int = 0):
+        import pathlib
+
+        if isinstance(artifacts, dict):
+            items = list(artifacts.items())
+        elif isinstance(artifacts, (list, tuple)):
+            items = [(pathlib.Path(a).stem if isinstance(a, (str, pathlib.Path))
+                      else f"artifact{i}", a)
+                     for i, a in enumerate(artifacts)]
         else:
-            self._fn(0)
-        self._warmup_s = time.perf_counter() - t0
+            items = [(pathlib.Path(artifacts).stem
+                      if isinstance(artifacts, (str, pathlib.Path))
+                      else "artifact0", artifacts)]
+        if len({n for n, _ in items}) != len(items):
+            raise ValueError(f"duplicate artifact names in "
+                             f"{[n for n, _ in items]}; pass a dict to name "
+                             f"them explicitly")
+        self._artifacts = {name: _Artifact(src, name) for name, src in items}
+        self._default = next(iter(self._artifacts))
+        self.meta = self._artifacts[self._default].meta   # back-compat
+        self._lock = threading.Lock()
+        self._pending = 0                  # requests waiting on/holding _lock
+        self._pending_lock = threading.Lock()
+        self._warmup_s = 0.0
+        for art in self._artifacts.values():
+            self._warmup_s += art.warm()
 
         server = self
 
@@ -82,24 +153,48 @@ class GeneratorServer:
             def _send_json(self, code: int, obj):
                 self._send(code, json.dumps(obj).encode(), "application/json")
 
+            def _route(self, prefix: str):
+                """Resolve /<prefix>[/<name>] to an artifact (or None+error)."""
+                if self.path == prefix:
+                    return server._artifacts[server._default]
+                if self.path.startswith(prefix + "/"):
+                    name = self.path[len(prefix) + 1:]
+                    art = server._artifacts.get(name)
+                    if art is None:
+                        self._send_json(404, {
+                            "error": f"no artifact {name!r}; serving "
+                                     f"{sorted(server._artifacts)}"})
+                        return None
+                    return art
+                self._send_json(404, {"error": f"no route {self.path}"})
+                return None
+
             def do_GET(self):  # noqa: N802
                 if self.path == "/healthz":
                     self._send_json(200, {"ok": True})
-                elif self.path == "/meta":
-                    stats = dict(server._stats)
-                    n = stats.pop("requests")
-                    tot = stats.pop("generate_s_total")
+                elif self.path == "/artifacts":
                     self._send_json(200, {
-                        **server.meta, "requests": n,
+                        "default": server._default,
+                        "artifacts": {
+                            n: {k: a.meta.get(k) for k in
+                                ("kind", "batch", "rollout_len", "p",
+                                 "serve_dtype", "kernel")}
+                            for n, a in server._artifacts.items()}})
+                elif self.path == "/meta" or self.path.startswith("/meta/"):
+                    art = self._route("/meta")
+                    if art is None:
+                        return
+                    self._send_json(200, {
+                        **art.meta, "artifact": art.name,
                         "warmup_s": round(server._warmup_s, 4),
-                        "mean_generate_ms":
-                            round(1e3 * tot / n, 3) if n else None})
+                        "queue_depth": server._pending,
+                        **art.stats()})
                 else:
                     self._send_json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):  # noqa: N802
-                if self.path != "/generate":
-                    self._send_json(404, {"error": f"no route {self.path}"})
+                art = self._route("/generate")
+                if art is None:
                     return
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
@@ -109,29 +204,43 @@ class GeneratorServer:
                     if fmt not in ("npy", "json"):
                         raise ValueError(f"format must be 'npy' or 'json', "
                                          f"got {fmt!r}")
-                    args = (seed,)
-                    if server._needs_context:
+                    batch = art.meta["batch"]
+                    n = int(req.get("n_samples", batch))
+                    if n < 1:
+                        raise ValueError(f"n_samples must be >= 1, got {n}")
+                    extra = ()
+                    if art.needs_context:
                         if "context" not in req:
                             raise ValueError(
                                 "this artifact is context-conditioned; the "
                                 "request body needs 'context': nested list "
-                                f"of shape (batch={server.meta['batch']}, "
-                                f"tau={server.meta['tau']}, "
-                                f"p={server.meta['p']})")
-                        args = (seed, np.asarray(req["context"], np.float32))
+                                f"of shape (batch={batch}, "
+                                f"tau={art.meta['tau']}, "
+                                f"p={art.meta['p']})")
+                        extra = (np.asarray(req["context"], np.float32),)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send_json(400, {"error": str(e)})
                     return
+                n_calls = -(-n // batch)
                 try:
-                    with server._lock:
-                        t0 = time.perf_counter()
-                        samples = server._fn(*args)
-                        dt = time.perf_counter() - t0
-                        server._stats["requests"] += 1
-                        server._stats["generate_s_total"] += dt
+                    with server._pending_lock:
+                        server._pending += 1
+                    try:
+                        with server._lock:
+                            t0 = time.perf_counter()
+                            parts = [art.fn(s, *extra)
+                                     for s in _sub_seeds(seed, n_calls)]
+                            dt = time.perf_counter() - t0
+                            art.requests += 1
+                            art.latencies.append(dt)
+                    finally:
+                        with server._pending_lock:
+                            server._pending -= 1
                 except ValueError as e:     # e.g. context shape mismatch
                     self._send_json(400, {"error": str(e)})
                     return
+                samples = (parts[0][:n] if n_calls == 1
+                           else np.concatenate(parts, axis=0)[:n])
                 if fmt == "json":
                     self._send_json(200, {"seed": seed,
                                           "shape": list(samples.shape),

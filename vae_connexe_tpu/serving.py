@@ -238,6 +238,14 @@ def load_generator(source):
             f"{_MAGIC!r})")
     (hlen,) = struct.unpack("<I", data[8:12])
     meta = json.loads(data[12:12 + hlen].decode())
+    # Validate the kind BEFORE deserializing the program — an unknown kind
+    # must fail loudly here, not fall through to the seed-only calling
+    # convention (or die decoding a program we wouldn't know how to call).
+    if meta.get("kind") not in ("crvae_compensated_generator",
+                                "win_conditioned_generator"):
+        raise ValueError(
+            f"unknown artifact kind {meta.get('kind')!r}; this build serves "
+            f"'crvae_compensated_generator' and 'win_conditioned_generator'")
     exported = jax.export.deserialize(data[12 + hlen:])
 
     if meta["kind"] == "win_conditioned_generator":
@@ -252,7 +260,7 @@ def load_generator(source):
                     f"steps of each series")
             return np.asarray(exported.call(jnp.asarray(seed, jnp.int32),
                                             ctx))
-    else:
+    else:   # crvae_compensated_generator (kind validated above)
         def fn(seed: int) -> np.ndarray:
             return np.asarray(exported.call(jnp.asarray(seed, jnp.int32)))
 
