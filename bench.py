@@ -50,6 +50,11 @@ WORKLOADS = {
     "xl": dict(p=128, t=8192, context=40, hidden=128, batch=64),
     # win = henon6d_win's geometry (configs/experiments.py): 2τ windows.
     "win": dict(p=6, t=3000, context=20, hidden=64, batch=256),
+    # vrae = vrae_demo geometry (t here = sequence length; batch = the
+    # full-batch N — the reference trains full-batch, VRAE.py:150-169).
+    "vrae": dict(p=10, t=20, context=20, hidden=64, batch=2048),
+    # csrae = csrae_binarized geometry (hidden here = the MLP trunk width).
+    "csrae": dict(p=10, t=2048, context=20, hidden=400, batch=128),
 }
 
 
@@ -158,6 +163,45 @@ def win_flops_bytes(d: int, hidden: int, latent: int, tau: int,
     return float(flops), float(hbm)
 
 
+def vrae_flops_bytes(d: int, hidden: int, latent: int, t: int, batch: int,
+                     n_params: int) -> tuple[float, float]:
+    """Analytic (flops, hbm_bytes) per VRAE full-batch Adam step — same
+    conventions as ``phase1_flops_bytes`` (matmul FLOPs ×3 for fwd+bwd;
+    saved-activation + parameter-traffic byte lower bound; Adam ≈ 9 param
+    passes).  Encoder GRU over T steps, μ/logσ heads, z→h0, then the
+    per-timestep decoder cell loop with readout (``VRAE.py:29-101``)."""
+    H, B, L, T = hidden, batch, latent, t
+    cell = 3 * 2 * H * (d + H)
+    fwd = B * (T * cell                    # encoder GRU
+               + 2 * 2 * H * L + 2 * L * H  # fc_mu, fc_logvar, z2h
+               + T * (cell + 2 * H * d))   # decoder cell loop + readout
+    flops = 3 * fwd
+    f32 = 4
+    act = 4 * B * H * 2 * T                # r,z,n,h per cell step, both RNNs
+    hbm = f32 * (2 * act + 9 * n_params + 2 * B * T * d)
+    return float(flops), float(hbm)
+
+
+def csrae_flops_bytes(d_in: int, hidden_dims: tuple, latent: int, k: int,
+                      batch: int, n_params: int) -> tuple[float, float]:
+    """Analytic (flops, hbm_bytes) per MixtureCSRAE minibatch Adam step —
+    MLP encoder trunk + μ/logσ heads, MLP decoder, and the K-component CS
+    divergence's per-sample overlaps (``CS-RAE.py:8-113``); same counting
+    conventions as the other models."""
+    B, L = batch, latent
+    enc_dims = (d_in, *hidden_dims)
+    dec_dims = (L, *reversed(hidden_dims), d_in)
+    enc = sum(2 * a * b for a, b in zip(enc_dims[:-1], enc_dims[1:]))
+    dec = sum(2 * a * b for a, b in zip(dec_dims[:-1], dec_dims[1:]))
+    fwd = B * (enc + 2 * 2 * hidden_dims[-1] * L + dec
+               + k * L * 8)                 # q‖GMM overlap terms
+    flops = 3 * fwd
+    f32 = 4
+    act = B * (2 * sum(hidden_dims) + 2 * L)   # trunk activations, both nets
+    hbm = f32 * (2 * act + 9 * n_params + 2 * B * d_in)
+    return float(flops), float(hbm)
+
+
 def pick_serve_batch(p: int, hidden: int, vmem_bytes: float = 16 * 2**20,
                      lane: int = 128, lo: int = 128, hi: int = 16384,
                      elem_bytes: int = 4) -> int:
@@ -204,7 +248,20 @@ def roofline_fields(steps_per_sec: float, flops: float, hbm: float,
                     device_kind: str) -> dict:
     """Roofline dict from per-step analytic (flops, bytes) and the achieved
     rate (steps/s, seed-steps/s, or samples/s — per whatever unit the
-    analytic numbers describe)."""
+    analytic numbers describe).
+
+    Two ceilings are reported.  ``roofline_ceiling_analytic`` assumes the
+    analytic HBM byte LOWER bound is the real traffic (perfect fusion: every
+    saved activation written+read exactly once) — an optimistic number the
+    repo's own XLA cost audit disproves (``benchmarks/xla_cost_audit.py``
+    sandwiches the flagship step's real traffic at up to 2.2× the LB).
+    ``hbm_bytes_per_step_ub`` is the audit's sandwich upper bound
+    (peak bytes/s ÷ measured rate — the step could not run faster than the
+    chip streams); ``traffic_expansion_max`` is the resulting UB/LB ratio.
+    For an hbm-bound step, the ACHIEVABLE ceiling therefore lies in
+    [measured rate, analytic ceiling]; the closer ``traffic_expansion_max``
+    is to 1, the closer the step provably runs to its true bandwidth bound.
+    """
     ai = flops / hbm
     fields = {
         "flops_per_step": flops,
@@ -216,12 +273,15 @@ def roofline_fields(steps_per_sec: float, flops: float, hbm: float,
     peaks = CHIP_PEAKS.get(device_kind)
     if peaks:
         ridge = peaks["flops"] / peaks["hbm_bytes"]   # FLOP/B at the ridge
+        ub_bytes = peaks["hbm_bytes"] / steps_per_sec
         fields.update({
             "mfu_pct": round(100 * steps_per_sec * flops / peaks["flops"], 2),
             "hbm_pct_lb": round(100 * steps_per_sec * hbm / peaks["hbm_bytes"], 1),
             "roofline_bound": "hbm" if ai < ridge else "mxu",
-            "roofline_ceiling_steps_per_sec": round(
+            "roofline_ceiling_analytic_steps_per_sec": round(
                 min(peaks["flops"] / flops, peaks["hbm_bytes"] / hbm), 1),
+            "hbm_bytes_per_step_ub": round(ub_bytes, 1),
+            "traffic_expansion_max": round(ub_bytes / hbm, 2),
         })
     return fields
 
@@ -240,7 +300,8 @@ def main():
     ap.add_argument("--quick", action="store_true", help="300 timed steps")
     ap.add_argument("--workload",
                     choices=["train", "phase2", "longhorizon", "xl",
-                             "generate", "latency", "sweep", "stream", "win"],
+                             "generate", "latency", "sweep", "stream", "win",
+                             "vrae", "csrae"],
                     default="train",
                     help="train = phase-1 steps/sec at p=20 (headline); "
                          "phase2 = generation-phase steps/sec (CRVAE SGD + "
@@ -253,7 +314,10 @@ def main():
                          "stream = phase-1 fed from a disk-backed series "
                          "via the native out-of-core loader; "
                          "win = W_in-variant stage-1 ISTA steps/sec "
-                         "(henon6d shape)")
+                         "(henon6d shape); "
+                         "vrae = plain-VRAE full-batch Adam epochs/sec; "
+                         "csrae = MixtureCSRAE minibatch Adam steps/sec "
+                         "(binarized-L96 pipeline)")
     ap.add_argument("--seeds", type=int, default=8,
                     help="seed count for --workload sweep")
     ap.add_argument("--serve-batch", type=int, default=None,
@@ -302,6 +366,10 @@ def main():
         return bench_stream(args)
     if args.workload == "win":
         return bench_win(args)
+    if args.workload == "vrae":
+        return bench_vrae(args)
+    if args.workload == "csrae":
+        return bench_csrae(args)
 
     from vae_connexe_tpu.data import arrange_input, lorenz96
     from vae_connexe_tpu.models import CRVAE
@@ -576,6 +644,161 @@ def bench_win(args):
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     flops, hbm = win_flops_bytes(args.p, args.hidden, model.latent, tau,
                                  args.batch, n_params)
+    out.update(roofline_fields(steps_per_sec, flops, hbm,
+                               str(jax.devices()[0].device_kind)))
+    print(json.dumps(out))
+
+
+def bench_vrae(args):
+    """Plain-VRAE training steps/sec: one step = a full-batch Adam epoch
+    (encoder GRU + stochastic-teacher-forcing decoder cell loop + β-VAE
+    loss) — the reference's training unit (``VRAE.py:150-169``, full batch
+    per epoch).  Constant tf_ratio=0.5 in the hot loop (the schedule is a
+    host-side float per epoch and doesn't change the compiled step);
+    random (N, T, D) data as in the reference's demo (``VRAE.py:185-204``).
+    Shape: --batch = N (full batch), --t = sequence length, --p = D."""
+    import optax
+
+    from vae_connexe_tpu.models import VRAE
+
+    model = VRAE(input_dim=args.p, hidden_dim=args.hidden, latent_dim=32,
+                 output_activation="tanh")
+    data = jax.random.normal(jax.random.key(0), (args.batch, args.t, args.p))
+    params = model.init(jax.random.key(1))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    tf_ratio = jnp.float32(0.5)
+
+    def step(carry, k):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            recon, mu, logvar = model.forward(p, data, k, tf_ratio)
+            total, rec, kld = model.loss(recon, data, mu, logvar, 1.0)
+            return total, rec
+
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), total
+
+    chunk_len = 100
+
+    @jax.jit
+    def run_chunk(carry, key):
+        return jax.lax.scan(step, carry, jax.random.split(key, chunk_len))
+
+    carry = (params, opt_state)
+    key = jax.random.key(2)
+    total = None
+    for _ in range(args.warmup_chunks):
+        key, k = jax.random.split(key)
+        carry, total = run_chunk(carry, k)
+    if total is not None:
+        _ = float(total[-1])                    # device->host sync
+
+    n_chunks = max(1, args.steps // chunk_len)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        key, k = jax.random.split(key)
+        carry, total = run_chunk(carry, k)
+    final_loss = float(total[-1])               # sync (CLAUDE.md timing rule)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_chunks * chunk_len / dt
+    out = {
+        "metric": f"vrae_fullbatch_d{args.p}_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "device": str(jax.devices()[0].device_kind),
+        "timed_steps": n_chunks * chunk_len,
+        "full_batch_n": args.batch,
+        "seq_len": args.t,
+        "final_loss": round(final_loss, 4),
+    }
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    flops, hbm = vrae_flops_bytes(args.p, args.hidden, model.latent, args.t,
+                                  args.batch, n_params)
+    out.update(roofline_fields(steps_per_sec, flops, hbm,
+                               str(jax.devices()[0].device_kind)))
+    print(json.dumps(out))
+
+
+def bench_csrae(args):
+    """MixtureCSRAE training steps/sec: one step = a minibatch Adam update
+    of encoder + Bernoulli-logit decoder + learnable GMM prior under
+    BCE + λ_cs·CS divergence (``CS-RAE.py:115-155``), at the
+    csrae_binarized experiment's data pipeline (binarized flattened
+    Lorenz-96 windows) and literals.  Per-step compute matches
+    ``fit_csrae``'s scanned epoch steps (one B-row gather + fwd/bwd/Adam);
+    the bench gathers each batch uniformly instead of walking a
+    per-epoch permutation — identical work per step."""
+    import optax
+
+    from vae_connexe_tpu.configs import get_experiment
+    from vae_connexe_tpu.configs.experiments import (_make_dataset,
+                                                     make_csrae_inputs)
+
+    exp = get_experiment("csrae_binarized")
+    series, _ = _make_dataset(exp, jax.random.key(0))
+    x, model = make_csrae_inputs(exp, series)
+    params = model.init(jax.random.key(1))
+    opt = optax.adam(exp.csrae.lr)
+    opt_state = opt.init(params)
+    bs = args.batch
+
+    def step(carry, k):
+        params, opt_state = carry
+        k_b, k_e = jax.random.split(k)
+        idx = jax.random.randint(k_b, (bs,), 0, x.shape[0])
+        batch = jnp.take(x, idx, axis=0)
+
+        def loss_fn(p):
+            total, bce, cs = model.loss(p, batch, k_e)
+            return total, bce
+
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), total
+
+    chunk_len = 100
+
+    @jax.jit
+    def run_chunk(carry, key):
+        return jax.lax.scan(step, carry, jax.random.split(key, chunk_len))
+
+    carry = (params, opt_state)
+    key = jax.random.key(2)
+    total = None
+    for _ in range(args.warmup_chunks):
+        key, k = jax.random.split(key)
+        carry, total = run_chunk(carry, k)
+    if total is not None:
+        _ = float(total[-1])                    # device->host sync
+
+    n_chunks = max(1, args.steps // chunk_len)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        key, k = jax.random.split(key)
+        carry, total = run_chunk(carry, k)
+    final_loss = float(total[-1])               # sync (CLAUDE.md timing rule)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_chunks * chunk_len / dt
+    out = {
+        "metric": f"csrae_adam_din{model.input_dim}_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "device": str(jax.devices()[0].device_kind),
+        "timed_steps": n_chunks * chunk_len,
+        "batch": bs,
+        "input_dim": model.input_dim,
+        "final_loss": round(final_loss, 4),
+    }
+    n_params = sum(v.size for v in jax.tree.leaves(params))
+    flops, hbm = csrae_flops_bytes(model.input_dim, model.hidden_dims,
+                                   model.latent_dim, model.k, bs, n_params)
     out.update(roofline_fields(steps_per_sec, flops, hbm,
                                str(jax.devices()[0].device_kind)))
     print(json.dumps(out))
