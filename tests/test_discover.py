@@ -205,13 +205,40 @@ class TestDiscoverWinFamily:
         assert res.samples.shape == (6, 10, series.shape[1])
         assert np.isfinite(res.samples).all()
 
+    def test_win_seed0_in_vmap_matches_sequential(self, var_series):
+        """The unified sweep trains seed 0 INSIDE the vmapped program with
+        the exact init/run keys the sequential path uses — its scores must
+        match the seeds=1 run (up to vmap-batched float reassociation)."""
+        series, _ = var_series
+        kw = dict(context=10, max_iter=60, batch_size=128, family="win",
+                  seed=3)
+        seq = discover(series, **kw)
+        swept = discover(series, seeds=3, **kw)
+        np.testing.assert_allclose(swept.seed_scores[0], seq.scores,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_win_mesh_shards_seed_axis(self, var_series, eight_devices):
+        """mesh= for the win family: the stability sweep's seed axis shards
+        over dp, results equal the unsharded sweep."""
+        from vae_connexe_tpu.parallel import make_mesh
+
+        series, _ = var_series
+        kw = dict(context=10, max_iter=40, batch_size=128, family="win",
+                  seeds=4)
+        plain = discover(series, **kw)
+        meshed = discover(series, mesh=make_mesh(n_dp=4, n_ep=1), **kw)
+        np.testing.assert_allclose(meshed.seed_scores, plain.seed_scores,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(meshed.gc, plain.gc)
+
     def test_family_validation(self, var_series):
         series, _ = var_series
         with pytest.raises(ValueError, match="family"):
             discover(series, context=10, max_iter=10, family="mystery")
         with pytest.raises(ValueError, match="win"):
             discover(series, context=10, max_iter=10, prox="row")
-        with pytest.raises(ValueError, match="mesh"):
+        # win + mesh needs the seed axis to shard (no sharded single fit).
+        with pytest.raises(ValueError, match="seeds > 1"):
             discover(series, context=10, max_iter=10, family="win",
                      mesh=object())
 

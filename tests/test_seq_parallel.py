@@ -98,6 +98,120 @@ def test_default_microbatches_divide_odd_batch(eight_devices):
     np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_sp), atol=1e-5)
 
 
+def test_seq_sharded_batch_axis_composes_with_dp(eight_devices):
+    """batch_axis shards the batch over dp while the time axis shards over
+    sp — the pipeline runs per dp group on its local slice."""
+    params, x, h0 = _mk(jax.random.key(7), b=8, t=16)
+    mesh = Mesh(np.asarray(eight_devices).reshape(2, 4),
+                axis_names=("dp", "sp"))
+    ref_outs, ref_ht = gru_scan_heads(params, x, h0)
+    outs, h_t = seq_sharded_gru_heads(params, x, h0, mesh, batch_axis="dp")
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref_outs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(ref_ht),
+                               rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sp as a TRAINING mode: fit_phase1/2(mesh with an sp axis) routes the decode
+# recurrence through the pipeline and must equal the single-device fit.
+# ---------------------------------------------------------------------------
+
+P_VARS, CTX = 4, 42          # decode length 42 - 10 = 32: divides 1/2/4/8
+
+
+@pytest.fixture(scope="module")
+def fit_setup():
+    from vae_connexe_tpu.data import arrange_input, lorenz96
+    from vae_connexe_tpu.models import CRVAE
+
+    series = lorenz96(jax.random.key(0), p=P_VARS, t=300)
+    windows, _ = arrange_input(series, CTX)
+    model = CRVAE(p=P_VARS, hidden=12)
+    params = model.init(jax.random.key(1))
+    parents = jnp.ones((P_VARS, P_VARS), jnp.float32)
+    return windows, model, params, parents
+
+
+def _max_diff(a, b):
+    return max(jax.tree.leaves(
+        jax.tree.map(lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)))
+
+
+@pytest.mark.parametrize("n_sp", [1, 2, 4, 8])
+def test_sp_fit_phase1_matches_single_device(eight_devices, fit_setup, n_sp):
+    from vae_connexe_tpu.parallel import make_mesh
+    from vae_connexe_tpu.train import Phase1Config, fit_phase1
+
+    windows, model, params, parents = fit_setup
+    cfg = Phase1Config(max_iter=8, check_every=4, batch_size=8, lam=0.1)
+    key = jax.random.key(2)
+    best_ref, state_ref, m_ref = fit_phase1(model, params, windows, parents,
+                                            cfg, key)
+    mesh = make_mesh(n_dp=1, n_ep=1, n_sp=n_sp)
+    best_sp, state_sp, m_sp = fit_phase1(model, params, windows, parents,
+                                         cfg, key, mesh=mesh)
+    # Same keys, same gathers; the sp pipeline is a schedule, not a
+    # numerical change — only reduction-order rounding may differ.
+    assert _max_diff(best_ref, best_sp) < 1e-5
+    assert _max_diff(state_ref.params, state_sp.params) < 1e-5
+    assert abs(m_ref["loss"] - m_sp["loss"]) < 1e-4
+
+
+def test_sp_fit_phase1_composes_with_dp(eight_devices, fit_setup):
+    from vae_connexe_tpu.parallel import make_mesh
+    from vae_connexe_tpu.train import Phase1Config, fit_phase1
+
+    windows, model, params, parents = fit_setup
+    cfg = Phase1Config(max_iter=6, check_every=3, batch_size=8, lam=0.1)
+    key = jax.random.key(3)
+    best_ref, _, _ = fit_phase1(model, params, windows, parents, cfg, key)
+    mesh = make_mesh(n_dp=2, n_ep=1, n_sp=4)
+    best_sp, _, _ = fit_phase1(model, params, windows, parents, cfg, key,
+                               mesh=mesh)
+    assert _max_diff(best_ref, best_sp) < 1e-5
+
+
+def test_sp_fit_phase2_matches_single_device(eight_devices, fit_setup):
+    from vae_connexe_tpu.models import ErrorVAE
+    from vae_connexe_tpu.parallel import make_mesh
+    from vae_connexe_tpu.train import Phase2Config, fit_phase2
+
+    windows, model, params, parents = fit_setup
+    err_model = ErrorVAE(d=P_VARS, hidden=12)
+    err_params = err_model.init(jax.random.key(4))
+    cfg = Phase2Config(max_iter=6, check_every=3, batch_size=8)
+    key = jax.random.key(5)
+    best_ref, err_ref, _, _ = fit_phase2(model, err_model, params, err_params,
+                                         windows, parents, cfg, key)
+    mesh = make_mesh(n_dp=1, n_ep=1, n_sp=4)
+    best_sp, err_sp, _, _ = fit_phase2(model, err_model, params, err_params,
+                                       windows, parents, cfg, key, mesh=mesh)
+    assert _max_diff(best_ref, best_sp) < 1e-5
+    assert _max_diff(err_ref, err_sp) < 1e-5
+
+
+def test_sp_fit_rejects_bad_meshes(eight_devices, fit_setup):
+    from vae_connexe_tpu.parallel import make_mesh
+    from vae_connexe_tpu.train import Phase1Config, fit_phase1
+
+    windows, model, params, parents = fit_setup
+    cfg = Phase1Config(max_iter=4, check_every=4, batch_size=8, lam=0.1)
+    # ep and sp both > 1: unsupported combination, clear error.
+    mesh = make_mesh(n_dp=1, n_ep=2, n_sp=4)
+    with pytest.raises(ValueError, match="cannot both exceed 1"):
+        fit_phase1(model, params, windows, parents, cfg, jax.random.key(0),
+                   mesh=mesh)
+    # decode length (32) not divisible by... use a context making it odd.
+    from vae_connexe_tpu.data import arrange_input, lorenz96
+    series = lorenz96(jax.random.key(0), p=P_VARS, t=200)
+    win_odd, _ = arrange_input(series, 25)      # decode length 15
+    mesh = make_mesh(n_dp=1, n_ep=1, n_sp=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        fit_phase1(model, params, win_odd, parents, cfg, jax.random.key(0),
+                   mesh=mesh)
+
+
 def test_long_chunk_uses_scan_path(eight_devices):
     """Local chunks beyond UNROLL_MAX_T take the lax.scan body (program-size
     guard) and stay numerically equal to the single-device recurrence."""

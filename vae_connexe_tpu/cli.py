@@ -56,7 +56,7 @@ def _cmd_run(args):
     if args.mesh:
         from vae_connexe_tpu.parallel import make_mesh
 
-        mesh = make_mesh(n_ep=args.ep)
+        mesh = make_mesh(n_ep=args.ep, n_sp=args.sp)
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
               file=sys.stderr)
     results = run_experiment(args.experiment, seed=args.seed,
@@ -406,7 +406,13 @@ def main(argv=None):
                             "composes with --mesh (chunks land dp-sharded)")
     p_run.add_argument("--ep", type=int, default=1,
                        help="ep (head-parallel) mesh size for --mesh; "
-                            "dp = n_devices / ep")
+                            "dp = n_devices / (ep * sp)")
+    p_run.add_argument("--sp", type=int, default=1,
+                       help="sp (sequence-parallel) mesh size for --mesh: "
+                            "the decode recurrence's time axis shards over "
+                            "sp devices, hidden state handed over ICI "
+                            "(long-decode configs; requires (context - "
+                            "enc_len) divisible by sp and ep=1)")
     p_run.add_argument("--quiet", action="store_true")
     p_run.set_defaults(fn=_cmd_run)
 

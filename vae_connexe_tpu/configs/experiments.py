@@ -693,6 +693,15 @@ def run_experiment(name: str, seed: int = 0, out_dir: str | None = None,
         results["generated_shape"] = list(samples.shape)
         if out:
             np.save(out / f"syn_{name}.npy", np.asarray(samples))
+            # The reference's distribution-match ritual (PCA + t-SNE,
+            # ``author_CRVAE.py:376-456``) applied to the CSRAE's flattened
+            # binarized windows: reshape back to (N, ctx, p) window form.
+            from vae_connexe_tpu.evals.viz import pca_comparison, tsne_comparison
+            shape3 = (-1, exp.context, exp.p)
+            ori3 = np.asarray(x[:512]).reshape(shape3)
+            syn3 = np.asarray(samples).reshape(shape3)
+            pca_comparison(ori3, syn3, str(out / f"pca_{name}.png"))
+            tsne_comparison(ori3, syn3, str(out / f"tsne_{name}.png"))
         if save_checkpoints and out:
             from vae_connexe_tpu.utils import save_checkpoint
             save_checkpoint(str(out / "ckpt_csrae"), params)

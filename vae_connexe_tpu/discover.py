@@ -174,16 +174,20 @@ def discover(series, *, context: int = 20, hidden: int = 64,
     k_init, k_run = jax.random.split(key)
 
     if family == "win":
-        if mesh is not None:
-            raise ValueError("mesh= supports the crvae family only")
+        if mesh is not None and seeds <= 1:
+            raise ValueError(
+                "mesh= for the win family shards the SEED axis of the "
+                "stability sweep over dp (there is no sharded single-fit "
+                "path for the win trainer) — pass seeds > 1, or use "
+                "family='crvae' whose single fit shards its batch over dp")
         return _discover_win(series, names=names, tau=enc_len, hidden=hidden,
                              latent=latent, lam=lam, lr=lr,
                              prox=prox or "row", max_iter=max_iter,
                              batch_size=batch_size, seeds=seeds,
                              threshold=threshold, min_frac=min_frac,
                              generate=generate, phase2_iters=phase2_iters,
-                             k_init=k_init, k_run=k_run, verbose=verbose,
-                             log_fn=log_fn)
+                             k_init=k_init, k_run=k_run, mesh=mesh,
+                             verbose=verbose, log_fn=log_fn)
     if lr is None:
         lr = 5e-2
 
@@ -260,7 +264,8 @@ def discover(series, *, context: int = 20, hidden: int = 64,
 
 def _discover_win(series, *, names, tau, hidden, latent, lam, lr, prox,
                   max_iter, batch_size, seeds, threshold, min_frac,
-                  generate, phase2_iters, k_init, k_run, verbose, log_fn):
+                  generate, phase2_iters, k_init, k_run, mesh=None,
+                  verbose=False, log_fn=print):
     """The win-family discovery path: explicit per-head W_in matrices with
     row-group (``CRVAE.py:145-147``) or element-wise (``CR-VAE.py:126-128``)
     proximal sparsity, trained by the two-stage ISTA/Adam trainer.
@@ -268,6 +273,13 @@ def _discover_win(series, *, names, tau, hidden, latent, lam, lr, prox,
     ``max_iter`` counts stage-I epochs; stage II (error-compensation
     refinement on the frozen support) runs ``phase2_iters`` epochs, default
     half of stage I.
+
+    With ``seeds > 1``, ALL S inits — including seed 0 — train
+    simultaneously in ONE vmapped program per epoch block
+    (``WInTrainer.fit_many``; seed 0's key/shuffle stream is exactly the
+    sequential ``fit``'s, pinned in tests/test_discover.py), matching the
+    crvae branch's one-compilation discipline; ``mesh`` shards the seed
+    axis over dp.
     """
     from vae_connexe_tpu.data import sliding_windows
     from vae_connexe_tpu.evals import auto_threshold, stability_selection
@@ -288,32 +300,36 @@ def _discover_win(series, *, names, tau, hidden, latent, lam, lr, prox,
     model = WInCRVAE(d=p, hidden=hidden, latent=latent, tau=tau)
     trainer = WInTrainer(model, cfg)
 
-    params, metrics = trainer.fit(model.init(k_init), windows, k_run,
-                                  verbose=verbose, log_fn=log_fn)
-    scores = model.granger_matrix(params, threshold=False)
-
     votes = seed_scores = None
     if seeds > 1:
-        # Extra inits train SIMULTANEOUSLY in one vmapped program per epoch
-        # block; stage 2 is skipped for them unless it updates W_in (it
-        # would not change the scores — ``CRVAE.py:158-159`` freezes W_in).
-        e2 = stage2 if cfg.update_w_in_stage2 else 0
-        s_idx = jnp.arange(1, seeds)
-        p_stack = jax.vmap(
-            lambda s: model.init(jax.random.fold_in(k_init, s)))(s_idx)
-        seed_keys = jax.vmap(
-            lambda s: jax.random.fold_in(k_run, 100 + s))(s_idx)
-        p_stack, _ = trainer.fit_many(p_stack, windows, seed_keys,
-                                      stage2_epochs=e2)
-        extra = jax.vmap(
-            lambda ps: model.granger_matrix(ps, threshold=False))(p_stack)
-        seed_scores = np.stack([np.asarray(scores)] + list(np.asarray(extra)))
+        # One vmapped program trains every init — seed 0 included (its init
+        # and run keys are the exact ones the sequential path would use).
+        # Stage 2 refines the error head on the frozen support; it cannot
+        # change the W_in scores unless update_w_in_stage2, so skip it for
+        # the sweep unless the generator (seed 0's params) needs it.
+        e2 = stage2 if (generate > 0 or cfg.update_w_in_stage2) else 0
+        init_keys = jnp.stack(
+            [k_init] + [jax.random.fold_in(k_init, s)
+                        for s in range(1, seeds)])
+        run_keys = jnp.stack(
+            [k_run] + [jax.random.fold_in(k_run, 100 + s)
+                       for s in range(1, seeds)])
+        p_stack = jax.vmap(model.init)(init_keys)
+        p_stack, m_many = trainer.fit_many(p_stack, windows, run_keys,
+                                           stage2_epochs=e2, mesh=mesh)
+        seed_scores = np.asarray(jax.vmap(
+            lambda ps: model.granger_matrix(ps, threshold=False))(p_stack))
         votes_j, selected, thr = stability_selection(
             jnp.asarray(seed_scores), min_frac=min_frac)
         votes = np.asarray(votes_j)
         gc = np.asarray(selected)
         scores = jnp.median(jnp.asarray(seed_scores), axis=0)
+        params = jax.tree.map(lambda a: a[0], p_stack)   # seed 0's model
+        metrics = {k: float(v[0]) for k, v in m_many.items()}
     else:
+        params, metrics = trainer.fit(model.init(k_init), windows, k_run,
+                                      verbose=verbose, log_fn=log_fn)
+        scores = model.granger_matrix(params, threshold=False)
         thr = float(auto_threshold(scores)) if threshold == "auto" \
             else float(threshold)
         gc = np.asarray((scores > thr).astype(np.int32))

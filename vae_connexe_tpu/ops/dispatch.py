@@ -6,6 +6,7 @@ Override with env ``VAE_CONNEXE_FUSED_GRU=0|1`` or ``set_fused()``.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import jax
 
@@ -30,6 +31,42 @@ def set_fused(value: bool | None) -> None:
     """Force fused (True), lax (False), or auto (None)."""
     global _FORCED
     _FORCED = value
+
+
+# Sequence-parallel training mode: when set, stacked-head recurrences route
+# through the sp pipeline (``parallel/seq_parallel.py``) — the time axis
+# sharded over the mesh's sp axis, hidden state ppermuted device-to-device.
+# Trace-time state (like _FORCED): the fits set it for the duration of their
+# chunk loop so every (re)trace of the jitted step sees it.
+_SP_CTX: tuple | None = None
+
+
+def set_seq_parallel(mesh=None, axis: str = "sp",
+                     batch_axis: str | None = "dp",
+                     microbatches: int | None = None) -> None:
+    """Enable (mesh given) or disable (None) sp routing of stacked-head
+    recurrences.  ``batch_axis`` names the mesh axis the batch is sharded
+    over (ignored if the mesh lacks it)."""
+    global _SP_CTX
+    if mesh is None:
+        _SP_CTX = None
+        return
+    if batch_axis is not None and batch_axis not in mesh.axis_names:
+        batch_axis = None
+    _SP_CTX = (mesh, axis, batch_axis, microbatches)
+
+
+@contextmanager
+def seq_parallel(mesh, axis: str = "sp", batch_axis: str | None = "dp",
+                 microbatches: int | None = None):
+    """Scoped ``set_seq_parallel`` (the fits' integration point)."""
+    global _SP_CTX
+    prev = _SP_CTX
+    set_seq_parallel(mesh, axis, batch_axis, microbatches)
+    try:
+        yield
+    finally:
+        _SP_CTX = prev
 
 
 def use_fused(t_len: int, n_heads: int = 1, batch: int | None = None) -> bool:
@@ -59,7 +96,21 @@ def use_fused(t_len: int, n_heads: int = 1, batch: int | None = None) -> bool:
 def heads_recurrence(params: GRUParams, x, h0):
     """Stacked-head GRU sequence: unrolled XLA for short sequences, fused
     Pallas kernels (fwd + custom-VJP bwd) for long sequences on TPU,
-    ``lax.scan`` otherwise.  Contract of ``ops.gru.gru_scan_heads``."""
+    ``lax.scan`` otherwise.  Contract of ``ops.gru.gru_scan_heads``.
+
+    Under an active sp context (``set_seq_parallel`` / ``seq_parallel``),
+    the recurrence runs time-sharded over the mesh's sp axis instead —
+    the sequence-parallel training mode; T must divide by the sp size
+    (the pipeline raises a clear error rather than silently running
+    locally)."""
+    if _SP_CTX is not None:
+        mesh, axis, batch_axis, m = _SP_CTX
+        if mesh.shape[axis] > 1:
+            from vae_connexe_tpu.parallel.seq_parallel import (
+                seq_sharded_gru_heads)
+            return seq_sharded_gru_heads(params, x, h0, mesh, axis,
+                                         microbatches=m,
+                                         batch_axis=batch_axis)
     t_len = x.shape[-2]
     if use_fused(t_len, n_heads=params.w_ih.shape[0], batch=x.shape[-3]):
         from vae_connexe_tpu.ops.pallas_gru import gru_scan_heads_fused

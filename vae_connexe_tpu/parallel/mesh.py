@@ -20,24 +20,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_dp: int | None = None, n_ep: int = 1,
+def make_mesh(n_dp: int | None = None, n_ep: int = 1, n_sp: int = 1,
               devices: list | None = None) -> Mesh:
-    """Build a (dp, ep) mesh.  Defaults: all devices on dp."""
+    """Build a (dp, ep) mesh — or (dp, ep, sp) when ``n_sp > 1``.
+    Defaults: all devices on dp."""
     devices = devices if devices is not None else jax.devices()
-    if n_ep < 1:
-        raise ValueError(f"n_ep must be >= 1, got {n_ep}")
+    if n_ep < 1 or n_sp < 1:
+        raise ValueError(f"n_ep/n_sp must be >= 1, got {n_ep}/{n_sp}")
     if n_dp is None:
-        if len(devices) % n_ep:
+        if len(devices) % (n_ep * n_sp):
             raise ValueError(
                 f"cannot infer n_dp: {len(devices)} devices not divisible by "
-                f"n_ep={n_ep}; pass n_dp explicitly or choose n_ep dividing "
-                f"the device count")
-        n_dp = len(devices) // n_ep
-    if n_dp * n_ep > len(devices):
+                f"n_ep*n_sp={n_ep * n_sp}; pass n_dp explicitly or choose "
+                f"factors dividing the device count")
+        n_dp = len(devices) // (n_ep * n_sp)
+    if n_dp * n_ep * n_sp > len(devices):
         raise ValueError(
-            f"mesh ({n_dp} dp × {n_ep} ep) = {n_dp * n_ep} devices, but only "
-            f"{len(devices)} available — reduce the mesh or provision more "
-            f"devices (tests force 8 virtual CPU devices via XLA_FLAGS)")
+            f"mesh ({n_dp} dp × {n_ep} ep × {n_sp} sp) = "
+            f"{n_dp * n_ep * n_sp} devices, but only {len(devices)} "
+            f"available — reduce the mesh or provision more devices "
+            f"(tests force 8 virtual CPU devices via XLA_FLAGS)")
+    if n_sp > 1:
+        dev_array = np.asarray(devices[: n_dp * n_ep * n_sp]).reshape(
+            n_dp, n_ep, n_sp)
+        return Mesh(dev_array, axis_names=("dp", "ep", "sp"))
     dev_array = np.asarray(devices[: n_dp * n_ep]).reshape(n_dp, n_ep)
     return Mesh(dev_array, axis_names=("dp", "ep"))
 

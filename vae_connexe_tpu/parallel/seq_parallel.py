@@ -70,7 +70,8 @@ def _chunk_recurrence(params: GRUParams, xp: jax.Array, h0: jax.Array):
 
 def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
                           mesh: Mesh, axis: str = "sp",
-                          microbatches: int | None = None):
+                          microbatches: int | None = None,
+                          batch_axis: str | None = None):
     """Stacked-head GRU with the time axis sharded over ``mesh[axis]``.
 
     Drop-in contract of ``ops.gru.gru_scan_heads`` (shared input form):
@@ -80,13 +81,17 @@ def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
       x: (B, T, D) shared input sequence; T must divide by the sp size.
       h0: (P, B, H) initial hidden per head.
       mesh: mesh containing ``axis``.
-      microbatches: pipeline depth M (divides B).  Default: the largest
-        divisor of B that is <= the sp size — bounds the fill bubble at
-        <= 50% and is always valid (min(B, S) itself need not divide B).
+      microbatches: pipeline depth M (divides the per-device batch).
+        Default: the largest divisor of the local batch that is <= the sp
+        size — bounds the fill bubble at <= 50% and is always valid
+        (min(B, S) itself need not divide B).
+      batch_axis: optional mesh axis the batch dimension is sharded over
+        (the training fits' dp axis) — the pipeline then runs per dp group
+        on its local batch slice, composing sp with data parallelism.
 
     Returns:
-      (outs (P, B, T, H), h_T (P, B, H)) — outs sharded on T over ``axis``,
-      h_T fully replicated.
+      (outs (P, B, T, H), h_T (P, B, H)) — outs sharded on T over ``axis``
+      (and on B over ``batch_axis`` when given), h_T replicated over sp.
     """
     n_sp = mesh.shape[axis]
     p_heads, b, hidden = h0.shape
@@ -95,6 +100,12 @@ def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
         raise ValueError(
             f"sequence length {t_len} not divisible by the '{axis}' mesh size "
             f"{n_sp} — pad the window or choose a dividing sp size")
+    n_dp = mesh.shape[batch_axis] if batch_axis is not None else 1
+    if b % n_dp:
+        raise ValueError(
+            f"batch {b} not divisible by the '{batch_axis}' mesh size "
+            f"{n_dp}")
+    b = b // n_dp                      # per-device (local) batch from here on
     if microbatches is not None:
         m = microbatches
     else:
@@ -168,10 +179,11 @@ def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
             jnp.where(s == n_sp - 1, h_full, jnp.zeros_like(h_full)), axis)
         return outs, h_t
 
+    ba = batch_axis
     shmapped = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P()),
-        out_specs=(P(None, None, axis, None), P()),
+        in_specs=(P(), P(ba, axis, None), P(None, ba, None)),
+        out_specs=(P(None, ba, axis, None), P(None, ba, None)),
         check_vma=False)
     return shmapped(params, x, h0)
 

@@ -84,6 +84,27 @@ def check_mesh_divisibility(mesh: Mesh, p: int, batch_size: int) -> None:
             f"{n_dp} — choose a batch divisible by dp")
 
 
+def check_sp_compat(mesh: Mesh, t_dec: int) -> None:
+    """Validate a mesh carrying an sp axis for the sequence-parallel
+    training mode: the decode recurrence length must divide by sp, and ep
+    must be 1 (both axes shard the stacked decoder — sp shards its time
+    axis via shard_map with replicated head params, which contradicts an
+    ep-sharded head axis)."""
+    n_sp = mesh.shape.get("sp", 1)
+    if n_sp <= 1:
+        return
+    if mesh.shape.get("ep", 1) > 1:
+        raise ValueError(
+            f"sp={n_sp} and ep={mesh.shape['ep']} cannot both exceed 1: the "
+            f"sp pipeline runs the decode with replicated head params; use "
+            f"ep for many-heads configs OR sp for long-decode configs")
+    if t_dec % n_sp:
+        raise ValueError(
+            f"decode length {t_dec} (window length - enc_len) not divisible "
+            f"by the sp mesh size {n_sp} — pick a context so (context - "
+            f"enc_len) divides by sp, or a dividing sp size")
+
+
 def make_sharded_phase1_step(model: CRVAE, cfg: Phase1Config, mesh: Mesh,
                              parents: jax.Array):
     """Explicit-batch phase-1 step jitted over ``mesh``.

@@ -119,6 +119,21 @@ def _copy_tree(tree):
     return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
 
 
+def _sp_context(mesh):
+    """Sequence-parallel training mode: when the fit's mesh carries an sp
+    axis (size > 1), route the decode recurrence through the sp pipeline
+    (``parallel/seq_parallel.py``) for every (re)trace of the chunk — the
+    time axis shards over sp, the hidden state ppermutes device-to-device,
+    and the batch stays dp-sharded (``ops.dispatch.seq_parallel``).  The
+    reference has no long-context strategy beyond windowing (SURVEY.md §5);
+    this is the build's scale-out for the sequence axis itself."""
+    from contextlib import nullcontext
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from vae_connexe_tpu.ops.dispatch import seq_parallel
+        return seq_parallel(mesh)
+    return nullcontext()
+
+
 def _make_checkpointer(checkpoint_dir, checkpoint_every):
     if checkpoint_dir is None:
         return None
@@ -290,9 +305,10 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
 
         from vae_connexe_tpu.parallel.mesh import global_device_put
         from vae_connexe_tpu.parallel.sharded import (
-            check_mesh_divisibility, phase1_state_sharding)
+            check_mesh_divisibility, check_sp_compat, phase1_state_sharding)
 
         check_mesh_divisibility(mesh, model.p, cfg.batch_size)
+        check_sp_compat(mesh, windows.shape[1] - model.enc_len)
         rep = NamedSharding(mesh, P())
         batch_sharding = NamedSharding(mesh, P("dp"))
         # Commit the closed-over constants to the mesh (replicated windows /
@@ -334,8 +350,10 @@ def fit_phase1(model: CRVAE, params: CRVAEParams, windows: jax.Array,
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
 
-    state, metrics = _run_chunked(run_chunk, state, cfg, ckpt, resume_metrics,
-                                  verbose, log_fn, callback, "phase1")
+    with _sp_context(mesh):
+        state, metrics = _run_chunked(run_chunk, state, cfg, ckpt,
+                                      resume_metrics, verbose, log_fn,
+                                      callback, "phase1")
     return state.best_params, state, metrics
 
 
@@ -440,9 +458,10 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
 
         from vae_connexe_tpu.parallel.mesh import global_device_put
         from vae_connexe_tpu.parallel.sharded import (
-            check_mesh_divisibility, phase2_state_sharding)
+            check_mesh_divisibility, check_sp_compat, phase2_state_sharding)
 
         check_mesh_divisibility(mesh, model.p, cfg.batch_size)
+        check_sp_compat(mesh, windows.shape[1] - model.enc_len)
         rep = NamedSharding(mesh, P())
         batch_sharding = NamedSharding(mesh, P("dp"))
         windows = global_device_put(windows, rep)
@@ -481,8 +500,10 @@ def fit_phase2(model: CRVAE, err_model: ErrorVAE, params: CRVAEParams,
         def run_chunk(state, length):
             return jax.lax.scan(step, state, None, length=length)
 
-    state, metrics = _run_chunked(run_chunk, state, cfg, ckpt, resume_metrics,
-                                  verbose, log_fn, callback, "phase2")
+    with _sp_context(mesh):
+        state, metrics = _run_chunked(run_chunk, state, cfg, ckpt,
+                                      resume_metrics, verbose, log_fn,
+                                      callback, "phase2")
     return state.best_params, state.err_params, state, metrics
 
 

@@ -208,7 +208,7 @@ class WInTrainer:
     def fit_many(self, params_stack: WInCRVAEParams, windows: jax.Array,
                  keys: jax.Array, stage1_epochs: int | None = None,
                  stage2_epochs: int | None = None,
-                 epochs_per_dispatch: int = 25):
+                 epochs_per_dispatch: int = 25, mesh=None):
         """``fit`` vmapped over a leading seed axis: train S independent
         inits *simultaneously* in one compiled program per epoch block.
 
@@ -222,6 +222,10 @@ class WInTrainer:
         fits waste the chip at these model sizes (the same finding as the
         CRVAE seed sweep, ``parallel/seed_sweep.py``).
 
+        ``mesh``: optional — shards the SEED axis over dp (the same layout
+        as ``parallel.seed_sweep``'s mesh mode), so S independent fits train
+        at single-fit wall-clock per device; S must divide by dp.
+
         Returns ``(params_stack after stage II, {metric: (S,) last value})``.
         """
         cfg = self.cfg
@@ -232,6 +236,18 @@ class WInTrainer:
         vrun2 = self._get_run_many(stage=2)
 
         states = jax.vmap(self.init_state)(params_stack, keys)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dp = mesh.shape.get("dp", 1)
+            s = int(keys.shape[0])
+            if s % n_dp:
+                raise ValueError(
+                    f"{s} seeds not divisible by the dp mesh size {n_dp} — "
+                    f"pad the seed count or shrink dp")
+            states = jax.device_put(states, NamedSharding(mesh, P("dp")))
+            keys = jax.device_put(keys, NamedSharding(mesh, P("dp")))
+            windows = jax.device_put(windows, NamedSharding(mesh, P()))
         metrics = {}
 
         def run_stage(vrun, states, keys, epochs):
