@@ -172,3 +172,50 @@ def test_error_paths(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 404
+
+
+def test_fair_lock_fifo_order():
+    """The dispatch lock serves waiters in strict arrival order.
+
+    A bare threading.Lock wakes waiters in OS scheduling order (barging) —
+    measured as the 6.4 s p95 starvation spike at 16 concurrent clients
+    (RESULTS.md round 4).  _FairLock's ticket discipline pins the fix:
+    threads that queued while the lock was held complete in the order
+    they arrived.
+    """
+    import threading
+    import time
+
+    from vae_connexe_tpu.server import _FairLock
+
+    lock = _FairLock()
+    order: list[int] = []
+
+    def worker(i):
+        with lock:
+            order.append(i)
+
+    # Hold the lock, stagger N waiters into the queue in a known arrival
+    # order, then release and let the ticket discipline drain them.
+    n = 12
+    with lock._cond:
+        lock._next_ticket += 1            # main thread "holds" ticket 0
+    threads = []
+    for i in range(n):
+        t = threading.Thread(target=worker, args=(i,))
+        t.start()
+        # Wait until thread i has taken its ticket (joined the queue)
+        # before starting i+1 — arrival order is then exactly 0..n-1.
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            with lock._cond:
+                if lock._next_ticket >= i + 2:
+                    break
+            time.sleep(0.001)
+        threads.append(t)
+    with lock._cond:                      # release ticket 0
+        lock._serving += 1
+        lock._cond.notify_all()
+    for t in threads:
+        t.join(timeout=10)
+    assert order == list(range(n))

@@ -28,11 +28,12 @@ measured serving frontier, RESULTS.md):
   artifacts additionally require ``"context"``: a nested list of shape
   (batch, tau, p) — the last τ steps of each series to forecast from.
 
-Dispatch is serialized with one lock shared across artifacts: one TPU,
-one queue — the baked batch dimension (``bench.pick_serve_batch``) is the
-throughput lever, not concurrent dispatch, and serialization keeps
-per-request latency predictable.  ``queue_depth`` in ``/meta`` is the
-backpressure signal.
+Dispatch is serialized with one FIFO ticket lock shared across artifacts
+(``_FairLock`` — strict arrival order, no barging): one TPU, one queue —
+the baked batch dimension (``bench.pick_serve_batch``) is the throughput
+lever, not concurrent dispatch, and fair serialization bounds
+per-request latency at queue_depth × service time.  ``queue_depth`` in
+``/meta`` is the backpressure signal.
 """
 
 from __future__ import annotations
@@ -49,6 +50,39 @@ import numpy as np
 from vae_connexe_tpu.serving import load_generator
 
 _LAT_WINDOW = 1024
+
+
+class _FairLock:
+    """FIFO ticket lock for the dispatch queue.
+
+    A bare ``threading.Lock`` wakes whichever waiter the OS schedules
+    (barging): under sustained concurrent load a request can lose the
+    race to later arrivals indefinitely — measured as the 6.4 s p95
+    spike at 16 clients on the latency route (RESULTS.md "Serving daemon
+    under concurrent load", round 4).  The ticket discipline serves
+    requests strictly in arrival order, so per-request latency is
+    bounded by queue_depth × service time — the predictable
+    backpressure ``/meta`` advertises.
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._next_ticket = 0
+        self._serving = 0
+
+    def __enter__(self):
+        with self._cond:
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            while ticket != self._serving:
+                self._cond.wait()
+        return self
+
+    def __exit__(self, *exc):
+        with self._cond:
+            self._serving += 1
+            self._cond.notify_all()
+        return False
 
 
 class _Artifact:
@@ -126,7 +160,7 @@ class GeneratorServer:
         self._artifacts = {name: _Artifact(src, name) for name, src in items}
         self._default = next(iter(self._artifacts))
         self.meta = self._artifacts[self._default].meta   # back-compat
-        self._lock = threading.Lock()
+        self._lock = _FairLock()
         self._pending = 0                  # requests waiting on/holding _lock
         self._pending_lock = threading.Lock()
         self._warmup_s = 0.0
