@@ -138,16 +138,32 @@ def main():
                    "latency_batch": args.latency_batch,
                    "latency_kernel": "fused" if on_tpu else "lax",
                    "duration_s": args.duration, "routes": {}}
-        for route, body in (("/generate/throughput", {"seed": 0}),
-                            ("/generate/latency", {"seed": 0})):
+        cases = (
+            # (result key, route, request body) — the first two match the
+            # round-4 pre-FairLock table for before/after comparability;
+            # "coalesced" sends 1-sample "seed": null requests (the daemon
+            # shares dispatches FIFO); "f16-wire" halves the 10 MB response.
+            ("/generate/throughput", "/generate/throughput", {"seed": 0}),
+            ("/generate/latency", "/generate/latency", {"seed": 0}),
+            ("/generate/latency [coalesced n=1]", "/generate/latency",
+             {"seed": None, "n_samples": 1}),
+            ("/generate/throughput [f16 wire]", "/generate/throughput",
+             {"seed": 0, "wire_dtype": "float16"}),
+        )
+        for key, route, body in cases:
             # one warm request outside the timed window
             _post(srv.host, srv.port, route, body)
+            name = route.rsplit("/", 1)[1]
+            m0 = _get(srv.host, srv.port, "/meta/" + name)
             rows = [hammer(srv.host, srv.port, route, k, args.duration, body)
                     for k in args.clients]
-            meta = _get(srv.host, srv.port,
-                        "/meta/" + route.rsplit("/", 1)[1])
-            results["routes"][route] = {
-                "rows": rows, "server_generate_ms": meta["generate_ms"]}
+            meta = _get(srv.host, srv.port, "/meta/" + name)
+            entry = {"rows": rows, "server_generate_ms": meta["generate_ms"]}
+            d_req = meta["requests"] - m0["requests"]
+            d_calls = meta["device_calls"] - m0["device_calls"]
+            if d_calls:
+                entry["requests_per_device_call"] = round(d_req / d_calls, 2)
+            results["routes"][key] = entry
         print(json.dumps(results, indent=2))
     finally:
         srv.shutdown()

@@ -219,3 +219,98 @@ def test_fair_lock_fifo_order():
     for t in threads:
         t.join(timeout=10)
     assert order == list(range(n))
+
+
+def test_coalescing_single_request_deterministic(server):
+    """A "seed": null request is served from a server-assigned seed: the
+    response is the head slice of the artifact called at that seed (read
+    white-box from the counter — coalesced responses carry no
+    reproducibility contract, but the slicing must be exact)."""
+    srv, blob = server
+    next_seed = srv._auto_seed_next
+    with _post(srv, "/generate", {"seed": None, "n_samples": 3}) as r:
+        out = np.load(io.BytesIO(r.read()))
+    fn, _ = load_generator(blob)
+    np.testing.assert_array_equal(out, fn(next_seed)[:3])
+
+
+def test_coalescing_concurrent_requests_share_dispatches(server):
+    """k concurrent "seed": null requests are served FIFO from shared
+    dispatches: with n_samples=2 against a batch-6 artifact, 6 requests
+    must cost strictly fewer than 6 device calls (a slowed generator
+    guarantees the queue forms), and every response is a valid slice."""
+    import threading
+    import time as _time
+
+    srv, _ = server
+    art = srv._artifacts[srv._default]
+    orig_fn = art.fn
+    calls0, coal0, req0 = (art.device_calls, art.coalesced_requests,
+                           art.requests)
+
+    def slow_fn(seed):
+        _time.sleep(0.3)
+        return orig_fn(seed)
+
+    art.fn = slow_fn
+    outs, errs = [None] * 6, []
+    try:
+        def client(i):
+            try:
+                with _post(srv, "/generate",
+                           {"seed": None, "n_samples": 2}) as r:
+                    outs[i] = np.load(io.BytesIO(r.read()))
+            except Exception as e:          # surface in the main thread
+                errs.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        art.fn = orig_fn
+    assert not errs, errs
+    for o in outs:
+        assert o is not None and o.shape[0] == 2 and np.isfinite(o).all()
+    assert art.requests - req0 == 6
+    assert art.coalesced_requests - coal0 == 6
+    # 6 requests x 2 samples = 12 samples over batch-6 dispatches: >= 2
+    # dispatches are necessary; < 6 proves sharing actually happened.
+    n_calls = art.device_calls - calls0
+    assert 2 <= n_calls < 6, n_calls
+
+
+def test_wire_dtype_float16(server):
+    """wire_dtype=float16 halves the npy body: same values as the float32
+    response cast to f16, dtype on the wire is f16, and bad values 400."""
+    srv, _ = server
+    with _post(srv, "/generate", {"seed": 11, "n_samples": 4}) as r:
+        f32 = np.load(io.BytesIO(r.read()))
+    with _post(srv, "/generate", {"seed": 11, "n_samples": 4,
+                                  "wire_dtype": "float16"}) as r:
+        body = r.read()
+        f16 = np.load(io.BytesIO(body))
+    assert f16.dtype == np.float16
+    np.testing.assert_array_equal(f16, f32.astype(np.float16))
+    assert len(body) < f32.nbytes * 0.6     # ~half + npy header
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/generate", {"wire_dtype": "int4"})
+    assert ei.value.code == 400
+
+
+def test_auto_seed_above_batch_not_coalesced(server):
+    """"seed": null with n_samples > batch takes the multi-call path with a
+    server-assigned seed (deterministic sub-seed loop, exact length)."""
+    srv, blob = server
+    _, meta = _get(srv, "/meta")
+    n_big = meta["batch"] + 2
+    next_seed = srv._auto_seed_next
+    with _post(srv, "/generate", {"seed": None, "n_samples": n_big}) as r:
+        out = np.load(io.BytesIO(r.read()))
+    assert out.shape[0] == n_big
+    from vae_connexe_tpu.server import _sub_seeds
+    fn, _ = load_generator(blob)
+    ref = np.concatenate([fn(s) for s in _sub_seeds(next_seed, 2)])[:n_big]
+    np.testing.assert_array_equal(out, ref)

@@ -17,23 +17,36 @@ measured serving frontier, RESULTS.md):
   queue depth (requests currently waiting on or holding the dispatch
   lock), and generate-latency percentiles (p50/p95/p99/mean over a
   sliding window of the last 1024 dispatches).
-- ``POST /generate[/<name>]`` with JSON body ``{"seed": <int>,
-  "n_samples": <int>, "format": "npy"|"json"}`` → compensated-rollout
-  samples.  ``n_samples`` defaults to the artifact's baked batch; smaller
-  values slice the generated batch, larger ones loop it over sub-seeds
-  derived deterministically from ``seed`` (``np.random.SeedSequence`` —
-  the same (seed, n_samples) always returns the same samples).  ``"npy"``
+- ``POST /generate[/<name>]`` with JSON body ``{"seed": <int>|null,
+  "n_samples": <int>, "format": "npy"|"json",
+  "wire_dtype": "float32"|"float16"}`` → compensated-rollout samples.
+  ``n_samples`` defaults to the artifact's baked batch; smaller values
+  slice the generated batch, larger ones loop it over sub-seeds derived
+  deterministically from ``seed`` (``np.random.SeedSequence`` — the same
+  (seed, n_samples) always returns the same samples).  ``"npy"``
   (default) streams an ``application/x-npy`` body (``np.load``-able);
-  ``"json"`` returns the nested list.  Context-conditioned (win-family)
-  artifacts additionally require ``"context"``: a nested list of shape
-  (batch, tau, p) — the last τ steps of each series to forecast from.
+  ``"json"`` returns the nested list.  ``wire_dtype: "float16"`` casts
+  the npy body to float16 — half the response bytes; the artifact still
+  computes in its own dtype (generated series are O(10), far inside f16
+  range; opt in when wire bandwidth, not sample precision, is the
+  bottleneck).  Context-conditioned (win-family) artifacts additionally
+  require ``"context"``: a nested list of shape (batch, tau, p) — the
+  last τ steps of each series to forecast from.
+
+**Request coalescing**: ``"seed": null`` means "any fresh samples" — the
+server assigns the seed.  Such requests with ``n_samples <= batch`` are
+coalescible: concurrent ones are served FIFO from ONE device dispatch
+each time the baked batch has room (disjoint slices of one generated
+batch), so k small requests cost ~ceil(sum(n_i)/batch) dispatches
+instead of k.  Explicit-seed requests are never coalesced — their
+(seed, n_samples) → samples contract stays bitwise.
 
 Dispatch is serialized with one FIFO ticket lock shared across artifacts
 (``_FairLock`` — strict arrival order, no barging): one TPU, one queue —
 the baked batch dimension (``bench.pick_serve_batch``) is the throughput
-lever, not concurrent dispatch, and fair serialization bounds
-per-request latency at queue_depth × service time.  ``queue_depth`` in
-``/meta`` is the backpressure signal.
+lever; coalescing + fair serialization bound per-request latency at
+queue_depth × service time.  ``queue_depth`` in ``/meta`` is the
+backpressure signal.
 """
 
 from __future__ import annotations
@@ -85,6 +98,18 @@ class _FairLock:
         return False
 
 
+class _Waiter:
+    """One coalescible request queued for a shared dispatch."""
+
+    __slots__ = ("n", "result", "error", "done")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.result = None
+        self.error = None
+        self.done = False
+
+
 class _Artifact:
     """One loaded generator + its per-route serving stats."""
 
@@ -93,7 +118,11 @@ class _Artifact:
         self.fn, self.meta = load_generator(source)
         self.needs_context = self.meta["kind"] == "win_conditioned_generator"
         self.requests = 0
+        self.device_calls = 0              # actual generator dispatches
+        self.coalesced_requests = 0        # requests served from a shared one
         self.latencies = collections.deque(maxlen=_LAT_WINDOW)
+        self.coal_queue = collections.deque()   # FIFO of _Waiter
+        self.coal_mutex = threading.Lock()
 
     def warm(self) -> float:
         """First call pays the deserialized program's device load."""
@@ -111,6 +140,8 @@ class _Artifact:
             if lat.size else (lambda q: None)
         return {
             "requests": self.requests,
+            "device_calls": self.device_calls,
+            "coalesced_requests": self.coalesced_requests,
             "generate_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99),
                             "mean": (round(1e3 * float(lat.mean()), 3)
                                      if lat.size else None),
@@ -163,6 +194,12 @@ class GeneratorServer:
         self._lock = _FairLock()
         self._pending = 0                  # requests waiting on/holding _lock
         self._pending_lock = threading.Lock()
+        # Server-assigned seeds for "seed": null requests.  A plain counter:
+        # coalesced requests have no reproducibility contract (the response
+        # is a slice of a shared batch); it only needs to differ per
+        # dispatch.  int31 to match _sub_seeds' range.
+        self._auto_seed_lock = threading.Lock()
+        self._auto_seed_next = 0x5EED
         self._warmup_s = 0.0
         for art in self._artifacts.values():
             self._warmup_s += art.warm()
@@ -233,11 +270,16 @@ class GeneratorServer:
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
                     req = json.loads(self.rfile.read(length) or b"{}")
-                    seed = int(req.get("seed", 0))
+                    raw_seed = req.get("seed", 0)
+                    seed = None if raw_seed is None else int(raw_seed)
                     fmt = req.get("format", "npy")
                     if fmt not in ("npy", "json"):
                         raise ValueError(f"format must be 'npy' or 'json', "
                                          f"got {fmt!r}")
+                    wire = req.get("wire_dtype", "float32")
+                    if wire not in ("float32", "float16"):
+                        raise ValueError(f"wire_dtype must be 'float32' or "
+                                         f"'float16', got {wire!r}")
                     batch = art.meta["batch"]
                     n = int(req.get("n_samples", batch))
                     if n < 1:
@@ -255,39 +297,108 @@ class GeneratorServer:
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send_json(400, {"error": str(e)})
                     return
-                n_calls = -(-n // batch)
+                coalescible = (seed is None and n <= batch
+                               and not art.needs_context)
                 try:
-                    with server._pending_lock:
-                        server._pending += 1
-                    try:
-                        with server._lock:
-                            t0 = time.perf_counter()
-                            parts = [art.fn(s, *extra)
-                                     for s in _sub_seeds(seed, n_calls)]
-                            dt = time.perf_counter() - t0
-                            art.requests += 1
-                            art.latencies.append(dt)
-                    finally:
+                    if coalescible:
+                        samples = server._coalesced_generate(art, n)
+                    else:
+                        if seed is None:   # auto seed: n > batch or context
+                            seed = server._next_auto_seed()
+                        n_calls = -(-n // batch)
                         with server._pending_lock:
-                            server._pending -= 1
+                            server._pending += 1
+                        try:
+                            with server._lock:
+                                t0 = time.perf_counter()
+                                parts = [art.fn(s, *extra)
+                                         for s in _sub_seeds(seed, n_calls)]
+                                dt = time.perf_counter() - t0
+                                art.requests += 1
+                                art.device_calls += n_calls
+                                art.latencies.append(dt)
+                        finally:
+                            with server._pending_lock:
+                                server._pending -= 1
+                        samples = (parts[0][:n] if n_calls == 1
+                                   else np.concatenate(parts, axis=0)[:n])
                 except ValueError as e:     # e.g. context shape mismatch
                     self._send_json(400, {"error": str(e)})
                     return
-                samples = (parts[0][:n] if n_calls == 1
-                           else np.concatenate(parts, axis=0)[:n])
                 if fmt == "json":
                     self._send_json(200, {"seed": seed,
                                           "shape": list(samples.shape),
-                                          "samples": samples.tolist()})
+                                          "samples": np.asarray(samples).tolist()})
                 else:
                     buf = io.BytesIO()
-                    np.save(buf, samples)
+                    np.save(buf, np.asarray(samples, np.float16)
+                            if wire == "float16" else np.asarray(samples))
                     self._send(200, buf.getvalue(), "application/x-npy")
 
         self._handler_cls = Handler
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread = None
+
+    def _next_auto_seed(self) -> int:
+        with self._auto_seed_lock:
+            s = self._auto_seed_next
+            self._auto_seed_next = (s + 1) & 0x7FFFFFFF
+        return s
+
+    def _coalesced_generate(self, art: _Artifact, n: int) -> np.ndarray:
+        """Serve one "seed": null request of n <= batch samples, sharing the
+        device dispatch with every other coalescible request queued for the
+        same artifact.
+
+        The waiter joins the artifact's FIFO queue, then contends for the
+        dispatch lock.  Whichever waiter holds the lock drains the longest
+        queue prefix that fits in the baked batch, runs ONE generator call,
+        and hands out disjoint slices; a waiter that finds itself already
+        served on acquiring the lock passes straight through.  FIFO on both
+        the queue and the lock keeps arrival order.
+        """
+        w = _Waiter(n)
+        with art.coal_mutex:
+            art.coal_queue.append(w)
+        batch = art.meta["batch"]
+        with self._pending_lock:
+            self._pending += 1
+        try:
+            with self._lock:
+                while not w.done:
+                    with art.coal_mutex:
+                        take, total = [], 0
+                        while (art.coal_queue
+                               and total + art.coal_queue[0].n <= batch):
+                            total += art.coal_queue[0].n
+                            take.append(art.coal_queue.popleft())
+                    t0 = time.perf_counter()
+                    try:
+                        out = art.fn(self._next_auto_seed())
+                    except Exception as e:
+                        # Fail every waiter popped for this dispatch —
+                        # leaving them pop'd-but-pending would spin their
+                        # threads forever.
+                        for wt in take:
+                            wt.error, wt.done = e, True
+                        raise
+                    dt = time.perf_counter() - t0
+                    off = 0
+                    for wt in take:
+                        wt.result = out[off:off + wt.n]
+                        off += wt.n
+                        wt.done = True
+                    art.requests += len(take)
+                    art.coalesced_requests += len(take)
+                    art.device_calls += 1
+                    art.latencies.append(dt)
+        finally:
+            with self._pending_lock:
+                self._pending -= 1
+        if w.error is not None:
+            raise w.error
+        return w.result
 
     def start(self) -> None:
         """Accept requests on a daemon thread (returns immediately)."""
