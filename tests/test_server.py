@@ -79,7 +79,10 @@ def test_generate_json_and_stats(server):
     # Latency percentiles over the sliding window, ordered as percentiles.
     g = meta["generate_ms"]
     assert g["p50"] <= g["p95"] <= g["p99"]
-    assert g["window"] == meta["requests"]
+    # One latency sample per DEVICE CALL (a coalesced dispatch serves many
+    # requests from one call), so the window tracks device_calls, not
+    # requests — robust to test ordering against the module-scoped server.
+    assert g["window"] == min(meta["device_calls"], 1024)
     # Queue depth is instantaneous; with no in-flight request it is 0.
     assert meta["queue_depth"] == 0
 
@@ -314,3 +317,132 @@ def test_auto_seed_above_batch_not_coalesced(server):
     fn, _ = load_generator(blob)
     ref = np.concatenate([fn(s) for s in _sub_seeds(next_seed, 2)])[:n_big]
     np.testing.assert_array_equal(out, ref)
+
+
+def test_unexpected_dispatch_error_returns_500(server):
+    """A non-ValueError from the generator (relay hiccup, XLA runtime
+    error) must produce a JSON 500 counted in /meta — never a dropped
+    connection — on BOTH the explicit-seed and the coalesced path."""
+    srv, _ = server
+    art = srv._artifacts[srv._default]
+    orig_fn, err0 = art.fn, art.errors
+
+    def boom(seed, *a):
+        raise RuntimeError("relay reset by peer")
+
+    art.fn = boom
+    try:
+        for body in ({"seed": 7},               # explicit-seed path
+                     {"seed": None, "n_samples": 2}):   # coalesced path
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(srv, "/generate", body)
+            assert ei.value.code == 500
+            payload = json.loads(ei.value.read())
+            assert "RuntimeError" in payload["error"]
+    finally:
+        art.fn = orig_fn
+    _, meta = _get(srv, "/meta")
+    assert meta["errors"] == err0 + 2
+    # The daemon still serves after the failures (no wedged lock/queue).
+    with _post(srv, "/generate", {"seed": 1, "n_samples": 2}) as r:
+        assert r.status == 200
+
+
+def test_coalesced_ghost_waiter_removed_on_dispatch_failure(server):
+    """If the dispatch fails while our own waiter was NOT in the popped
+    prefix (the queue front filled the batch), the waiter must be removed
+    from the queue on the way out — a ghost entry would waste a later
+    dispatch's batch capacity and inflate the request stats."""
+    from vae_connexe_tpu.server import _Waiter
+
+    srv, _ = server
+    art = srv._artifacts[srv._default]
+    orig_fn = art.fn
+    batch = art.meta["batch"]
+
+    filler = _Waiter(batch)          # fills the whole first dispatch
+    art.coal_queue.append(filler)
+
+    def boom(seed, *a):
+        raise RuntimeError("dispatch died")
+
+    art.fn = boom
+    try:
+        with pytest.raises(RuntimeError):
+            srv._coalesced_generate(art, 1)
+    finally:
+        art.fn = orig_fn
+    assert filler.done and isinstance(filler.error, RuntimeError)
+    assert len(art.coal_queue) == 0      # our waiter did not linger
+
+
+def test_fair_lock_cancellable_acquire():
+    """acquire(until=...) lets a waiter filled by another thread's shared
+    dispatch leave the ticket queue immediately: the cancelled ticket is
+    skipped so later waiters still get the lock, and the filled waiter
+    returns before earlier-ticketed work completes."""
+    import threading
+    import time
+
+    from vae_connexe_tpu.server import _FairLock
+
+    lock = _FairLock()
+    done = threading.Event()
+    events = []
+
+    assert lock.acquire() is True          # main thread holds ticket 0
+
+    def filled_waiter():
+        got = lock.acquire(until=done.is_set)
+        events.append(("filled", got))
+        if got:
+            lock.release()
+
+    def normal_waiter():
+        with lock:
+            events.append(("normal", True))
+
+    t1 = threading.Thread(target=filled_waiter)
+    t1.start()
+    deadline = time.time() + 10            # t1 queued (ticket 1)
+    while lock._next_ticket < 2 and time.time() < deadline:
+        time.sleep(0.001)
+    t2 = threading.Thread(target=normal_waiter)
+    t2.start()
+    while lock._next_ticket < 3 and time.time() < deadline:
+        time.sleep(0.001)
+
+    done.set()                             # "another dispatch filled t1"
+    lock.wake()
+    t1.join(timeout=10)
+    # t1 returned WITHOUT the lock while ticket 0 is still held.
+    assert events == [("filled", False)]
+    lock.release()                         # release ticket 0 -> skips 1
+    t2.join(timeout=10)
+    assert ("normal", True) in events
+    assert lock._cancelled == set()        # cancelled ticket was reaped
+
+
+def test_coalesced_json_reports_dispatch_seed_and_offset(server):
+    """Coalesced JSON responses carry the shared dispatch's seed and this
+    request's slice offset (debuggability), instead of seed: null."""
+    srv, blob = server
+    next_seed = srv._auto_seed_next
+    with _post(srv, "/generate",
+               {"seed": None, "n_samples": 2, "format": "json"}) as r:
+        body = json.loads(r.read())
+    assert body["seed"] == next_seed and body["offset"] == 0
+    fn, _ = load_generator(blob)
+    np.testing.assert_array_equal(np.asarray(body["samples"], np.float32),
+                                  np.asarray(fn(next_seed)[:2]))
+
+
+def test_wire_dtype_f16_rejected_with_json_format(server):
+    """wire_dtype=float16 is npy-only; combining it with format=json is a
+    400 (it used to be silently ignored)."""
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/generate", {"seed": 1, "format": "json",
+                                 "wire_dtype": "float16"})
+    assert ei.value.code == 400
+    assert "npy" in json.loads(ei.value.read())["error"]

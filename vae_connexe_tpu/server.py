@@ -41,6 +41,10 @@ batch), so k small requests cost ~ceil(sum(n_i)/batch) dispatches
 instead of k.  Explicit-seed requests are never coalesced — their
 (seed, n_samples) → samples contract stays bitwise.
 
+Unexpected dispatch failures (relay hiccups, XLA runtime errors) return
+a JSON ``500`` body and are counted in ``/meta`` ``errors`` — the daemon
+never drops a connection without a response.
+
 Dispatch is serialized with one FIFO ticket lock shared across artifacts
 (``_FairLock`` — strict arrival order, no barging): one TPU, one queue —
 the baked batch dimension (``bench.pick_serve_batch``) is the throughput
@@ -76,38 +80,69 @@ class _FairLock:
     requests strictly in arrival order, so per-request latency is
     bounded by queue_depth × service time — the predictable
     backpressure ``/meta`` advertises.
+
+    ``acquire(until=...)`` is the coalescing fast path: a waiter whose
+    request is filled by ANOTHER thread's shared dispatch cancels its
+    ticket and returns immediately instead of idling behind every
+    earlier-ticketed dispatch (e.g. a long explicit-seed multi-call
+    request).  Cancelled tickets are skipped when ``_serving`` reaches
+    them, so the queue never stalls on a departed waiter.
     """
 
     def __init__(self):
         self._cond = threading.Condition()
         self._next_ticket = 0
         self._serving = 0
+        self._cancelled = set()
 
-    def __enter__(self):
+    def acquire(self, until=None) -> bool:
+        """Take a ticket and wait for it.  If ``until()`` becomes true
+        first, cancel the ticket and return False (lock NOT held)."""
         with self._cond:
             ticket = self._next_ticket
             self._next_ticket += 1
             while ticket != self._serving:
+                if until is not None and until():
+                    self._cancelled.add(ticket)
+                    return False
                 self._cond.wait()
+        return True
+
+    def release(self):
+        with self._cond:
+            self._serving += 1
+            while self._serving in self._cancelled:
+                self._cancelled.discard(self._serving)
+                self._serving += 1
+            self._cond.notify_all()
+
+    def wake(self):
+        """Re-notify waiters so ``until`` predicates are re-evaluated
+        (called after a shared dispatch marks waiters done)."""
+        with self._cond:
+            self._cond.notify_all()
+
+    def __enter__(self):
+        self.acquire()
         return self
 
     def __exit__(self, *exc):
-        with self._cond:
-            self._serving += 1
-            self._cond.notify_all()
+        self.release()
         return False
 
 
 class _Waiter:
     """One coalescible request queued for a shared dispatch."""
 
-    __slots__ = ("n", "result", "error", "done")
+    __slots__ = ("n", "result", "error", "done", "seed", "offset")
 
     def __init__(self, n: int):
         self.n = n
         self.result = None
         self.error = None
         self.done = False
+        self.seed = None     # the shared dispatch's server-assigned seed
+        self.offset = 0      # this request's slice offset in that batch
 
 
 class _Artifact:
@@ -120,6 +155,7 @@ class _Artifact:
         self.requests = 0
         self.device_calls = 0              # actual generator dispatches
         self.coalesced_requests = 0        # requests served from a shared one
+        self.errors = 0                    # unexpected dispatch failures (500s)
         self.latencies = collections.deque(maxlen=_LAT_WINDOW)
         self.coal_queue = collections.deque()   # FIFO of _Waiter
         self.coal_mutex = threading.Lock()
@@ -142,6 +178,7 @@ class _Artifact:
             "requests": self.requests,
             "device_calls": self.device_calls,
             "coalesced_requests": self.coalesced_requests,
+            "errors": self.errors,
             "generate_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99),
                             "mean": (round(1e3 * float(lat.mean()), 3)
                                      if lat.size else None),
@@ -280,6 +317,11 @@ class GeneratorServer:
                     if wire not in ("float32", "float16"):
                         raise ValueError(f"wire_dtype must be 'float32' or "
                                          f"'float16', got {wire!r}")
+                    if wire == "float16" and fmt == "json":
+                        raise ValueError(
+                            "wire_dtype 'float16' applies to the npy wire "
+                            "format only; with format='json' drop wire_dtype "
+                            "or use format='npy'")
                     batch = art.meta["batch"]
                     n = int(req.get("n_samples", batch))
                     if n < 1:
@@ -299,9 +341,11 @@ class GeneratorServer:
                     return
                 coalescible = (seed is None and n <= batch
                                and not art.needs_context)
+                offset = 0
                 try:
                     if coalescible:
-                        samples = server._coalesced_generate(art, n)
+                        samples, seed, offset = \
+                            server._coalesced_generate(art, n)
                     else:
                         if seed is None:   # auto seed: n > batch or context
                             seed = server._next_auto_seed()
@@ -325,8 +369,16 @@ class GeneratorServer:
                 except ValueError as e:     # e.g. context shape mismatch
                     self._send_json(400, {"error": str(e)})
                     return
+                except Exception as e:      # relay hiccup, XLA runtime error:
+                    # a JSON 500 beats a dropped connection — clients get an
+                    # error body, /meta counts it.
+                    art.errors += 1
+                    self._send_json(500, {
+                        "error": f"{type(e).__name__}: {e}"})
+                    return
                 if fmt == "json":
                     self._send_json(200, {"seed": seed,
+                                          "offset": offset,
                                           "shape": list(samples.shape),
                                           "samples": np.asarray(samples).tolist()})
                 else:
@@ -346,17 +398,18 @@ class GeneratorServer:
             self._auto_seed_next = (s + 1) & 0x7FFFFFFF
         return s
 
-    def _coalesced_generate(self, art: _Artifact, n: int) -> np.ndarray:
+    def _coalesced_generate(self, art: _Artifact, n: int):
         """Serve one "seed": null request of n <= batch samples, sharing the
         device dispatch with every other coalescible request queued for the
-        same artifact.
+        same artifact.  Returns ``(samples, dispatch_seed, slice_offset)``.
 
         The waiter joins the artifact's FIFO queue, then contends for the
         dispatch lock.  Whichever waiter holds the lock drains the longest
         queue prefix that fits in the baked batch, runs ONE generator call,
-        and hands out disjoint slices; a waiter that finds itself already
-        served on acquiring the lock passes straight through.  FIFO on both
-        the queue and the lock keeps arrival order.
+        and hands out disjoint slices; a waiter filled by another thread's
+        dispatch cancels its lock ticket and returns immediately rather
+        than idling behind earlier-ticketed dispatches.  FIFO on both the
+        queue and the lock keeps arrival order.
         """
         w = _Waiter(n)
         with art.coal_mutex:
@@ -365,40 +418,58 @@ class GeneratorServer:
         with self._pending_lock:
             self._pending += 1
         try:
-            with self._lock:
-                while not w.done:
-                    with art.coal_mutex:
-                        take, total = [], 0
-                        while (art.coal_queue
-                               and total + art.coal_queue[0].n <= batch):
-                            total += art.coal_queue[0].n
-                            take.append(art.coal_queue.popleft())
-                    t0 = time.perf_counter()
-                    try:
-                        out = art.fn(self._next_auto_seed())
-                    except Exception as e:
-                        # Fail every waiter popped for this dispatch —
-                        # leaving them pop'd-but-pending would spin their
-                        # threads forever.
+            if self._lock.acquire(until=lambda: w.done):
+                try:
+                    while not w.done:
+                        with art.coal_mutex:
+                            take, total = [], 0
+                            while (art.coal_queue
+                                   and total + art.coal_queue[0].n <= batch):
+                                total += art.coal_queue[0].n
+                                take.append(art.coal_queue.popleft())
+                        seed = self._next_auto_seed()
+                        t0 = time.perf_counter()
+                        try:
+                            out = art.fn(seed)
+                        except Exception as e:
+                            # Fail every waiter popped for this dispatch —
+                            # leaving them pop'd-but-pending would hang their
+                            # threads forever.
+                            for wt in take:
+                                wt.error, wt.done = e, True
+                            raise
+                        dt = time.perf_counter() - t0
+                        off = 0
                         for wt in take:
-                            wt.error, wt.done = e, True
-                        raise
-                    dt = time.perf_counter() - t0
-                    off = 0
-                    for wt in take:
-                        wt.result = out[off:off + wt.n]
-                        off += wt.n
-                        wt.done = True
-                    art.requests += len(take)
-                    art.coalesced_requests += len(take)
-                    art.device_calls += 1
-                    art.latencies.append(dt)
+                            wt.result = out[off:off + wt.n]
+                            wt.seed, wt.offset = seed, off
+                            off += wt.n
+                            wt.done = True
+                        art.requests += len(take)
+                        art.coalesced_requests += len(take)
+                        art.device_calls += 1
+                        art.latencies.append(dt)
+                        self._lock.wake()   # served waiters cancel + return
+                finally:
+                    self._lock.release()
+        except Exception:
+            # Our own waiter may still sit in the queue (the popped prefix
+            # filled the batch before reaching it): remove it, or a later
+            # dispatch wastes batch capacity on a departed thread and the
+            # request stats double-count.
+            if not w.done:
+                with art.coal_mutex:
+                    try:
+                        art.coal_queue.remove(w)
+                    except ValueError:   # raced: another dispatch took it
+                        pass
+            raise
         finally:
             with self._pending_lock:
                 self._pending -= 1
         if w.error is not None:
             raise w.error
-        return w.result
+        return w.result, w.seed, w.offset
 
     def start(self) -> None:
         """Accept requests on a daemon thread (returns immediately)."""
