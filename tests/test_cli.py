@@ -155,3 +155,27 @@ def test_debug_nans_flag(monkeypatch):
         assert seen["debug_nans"] is True
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_run_processes_flag_validation():
+    """--processes rejects flags that don't compose multi-process, before
+    spawning anything."""
+    with pytest.raises(SystemExit, match="not supported multi-process"):
+        cli.main(["run", "lorenz96_crvae", "--processes", "2", "--mesh"])
+    with pytest.raises(SystemExit, match="require --out-dir"):
+        cli.main(["run", "lorenz96_crvae", "--processes", "2",
+                  "--checkpoint-every", "4"])
+
+
+def test_run_processes_cli_path(capsys):
+    """`cli run <exp> --processes 2`: the user-reachable multi-controller
+    entry spawns real worker processes and prints the results JSON (full
+    ≡-single-process pinning lives in tests/test_multiprocess.py)."""
+    cli.main(["run", "lorenz96_crvae", "--processes", "2",
+              "--devices-per-process", "2", "--ep", "2",
+              "--iters", "4", "--no-phase2", "--quiet"])
+    out = capsys.readouterr().out
+    results = json.loads(out[out.index("{"):])
+    assert results["processes"] == 2
+    assert results["mesh"] == {"dp": 2, "ep": 2}
+    assert "gc" in results and "phase2" not in results

@@ -64,3 +64,106 @@ def test_multiprocess_fit_equals_single_process(num_processes,
     assert len(leaves_mp) == len(leaves_sp)
     for a, b in zip(leaves_mp, leaves_sp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+OV_MP = {"t": 128,
+         "phase1": {"max_iter": 8, "check_every": 4, "batch_size": 16},
+         "phase2": {"max_iter": 6, "check_every": 3, "batch_size": 16}}
+
+
+def _single_process_experiment(tmp_path):
+    """run_experiment with OV_MP's deltas + saved checkpoints, for param
+    comparison — the exact single-process `cli run` the worker mirrors."""
+    import dataclasses
+
+    from vae_connexe_tpu.configs import get_experiment, run_experiment
+
+    exp = get_experiment("lorenz96_crvae")
+    ov = {"t": OV_MP["t"],
+          "phase1": dataclasses.replace(exp.phase1, **OV_MP["phase1"]),
+          "phase2": dataclasses.replace(exp.phase2, **OV_MP["phase2"])}
+    out = str(tmp_path / "sp")
+    r = run_experiment("lorenz96_crvae", seed=0, out_dir=out, overrides=ov,
+                       save_checkpoints=True, verbose=False)
+    return r, out
+
+
+def test_multiprocess_experiment_equals_single_process(tmp_path):
+    """The FRAMEWORK path (`cli run lorenz96_crvae --processes 2`): a named
+    experiment through phase 1 → GC handoff → phase 2 executed by 2
+    cooperating multi-controller processes equals the single-process
+    run_experiment — params AND metrics (VERDICT round 4 item 1)."""
+    from vae_connexe_tpu.configs import get_experiment
+    from vae_connexe_tpu.models import CRVAE, ErrorVAE
+    from vae_connexe_tpu.parallel.multiprocess import (
+        launch_multiprocess_experiment)
+    from vae_connexe_tpu.utils import load_gc, restore_checkpoint
+
+    results, arrays, logs = launch_multiprocess_experiment(
+        "lorenz96_crvae", num_processes=2, devices_per_process=4, n_ep=2,
+        seed=0, overrides=OV_MP, out_dir=str(tmp_path / "mp"))
+    for pid, log in enumerate(logs):
+        assert f"proc {pid}/2" in log, log
+        assert "(4 local / 8 global" in log, log
+
+    r_sp, out_sp = _single_process_experiment(tmp_path)
+    # Metrics: same keys, same values to cross-process reduction roundoff.
+    for phase in ("phase1", "phase2"):
+        assert results[phase].keys() == r_sp[phase].keys()
+        for k in results[phase]:
+            assert np.isclose(results[phase][k], r_sp[phase][k],
+                              rtol=1e-3, atol=1e-5), (phase, k)
+    for k in results["gc"]:
+        assert np.isclose(results["gc"][k], r_sp["gc"][k], atol=1e-6), k
+
+    # Params: multiprocess npz leaves vs the single-process orbax ckpts.
+    exp = get_experiment("lorenz96_crvae")
+    model = CRVAE(p=exp.p, hidden=exp.hidden)
+    err_model = ErrorVAE(d=exp.p, hidden=exp.hidden)
+    best_sp = restore_checkpoint(out_sp + "/ckpt_phase1",
+                                 model.init(jax.random.key(0)))
+    for i, leaf in enumerate(jax.tree.leaves(best_sp)):
+        np.testing.assert_allclose(arrays[f"p1_{i}"], np.asarray(leaf),
+                                   atol=1e-4)
+    ck2 = restore_checkpoint(
+        out_sp + "/ckpt_phase2",
+        {"crvae": model.init(jax.random.key(0)),
+         "error_vae": err_model.init(jax.random.key(0))})
+    for i, leaf in enumerate(jax.tree.leaves(ck2["crvae"])):
+        np.testing.assert_allclose(arrays[f"p2_{i}"], np.asarray(leaf),
+                                   atol=1e-4)
+    for i, leaf in enumerate(jax.tree.leaves(ck2["error_vae"])):
+        np.testing.assert_allclose(arrays[f"err_{i}"], np.asarray(leaf),
+                                   atol=1e-4)
+    # The GC handoff matrix is binary — it must match EXACTLY.
+    gc_mp = np.load(tmp_path / "mp" / "GC_lorenz96_crvae.npy")
+    np.testing.assert_array_equal(gc_mp, load_gc(out_sp + "/ckpt_phase1"))
+
+
+def test_multiprocess_experiment_kill_resume(tmp_path):
+    """Preemption across the process boundary: a worker set killed
+    mid-phase-1 (after a collective checkpoint landed) and relaunched with
+    resume=True equals the uninterrupted multi-process run exactly —
+    checkpoints compose with --processes (VERDICT round 4 item 1)."""
+    from vae_connexe_tpu.parallel.multiprocess import (
+        launch_multiprocess_experiment)
+
+    kw = dict(num_processes=2, devices_per_process=4, n_ep=2, seed=0,
+              overrides=OV_MP)
+    r_u, a_u, _ = launch_multiprocess_experiment(
+        "lorenz96_crvae", out_dir=str(tmp_path / "u"), **kw)
+
+    out_k = str(tmp_path / "k")
+    with pytest.raises(RuntimeError, match="multiprocess run failed"):
+        launch_multiprocess_experiment(
+            "lorenz96_crvae", out_dir=out_k, checkpoint_every=4,
+            kill_at={"phase1": 4}, **kw)
+    r_r, a_r, _ = launch_multiprocess_experiment(
+        "lorenz96_crvae", out_dir=out_k, checkpoint_every=4, resume=True,
+        **kw)
+
+    assert r_u["phase1"] == r_r["phase1"]
+    assert r_u["phase2"] == r_r["phase2"]
+    assert a_u.keys() == a_r.keys()
+    for k in a_u:
+        np.testing.assert_array_equal(a_u[k], a_r[k])

@@ -42,6 +42,38 @@ def _cmd_run(args):
 
         enable_nan_debugging()
 
+    if args.processes:
+        # Multi-controller execution: N cooperating OS processes, one global
+        # (dp, ep) mesh with dp crossing the process boundaries — the pod
+        # programming model (one process per host on real hardware).
+        from vae_connexe_tpu.parallel.multiprocess import (
+            launch_multiprocess_experiment)
+
+        unsupported = [flag for flag, on in (
+            ("--mesh", args.mesh), ("--out-of-core", args.out_of_core),
+            ("--save-checkpoints", args.save_checkpoints),
+            ("--artifacts-every", bool(args.artifacts_every)),
+            ("--sp", args.sp > 1)) if on]
+        if unsupported:
+            sys.exit(f"--processes implies a meshed fit and composes with "
+                     f"--ep/--iters/--checkpoint-every/--resume/--no-phase2; "
+                     f"{' '.join(unsupported)} not supported multi-process")
+        if (args.checkpoint_every or args.resume) and not args.out_dir:
+            sys.exit("--checkpoint-every/--resume require --out-dir")
+        overrides = None
+        if args.iters is not None:
+            overrides = {"phase1": {"max_iter": args.iters},
+                         "phase2": {"max_iter": args.iters}}
+        results, _, _ = launch_multiprocess_experiment(
+            args.experiment, num_processes=args.processes,
+            devices_per_process=(args.devices_per_process
+                                 or max(1, 8 // args.processes)),
+            n_ep=args.ep, seed=args.seed, overrides=overrides,
+            run_phase2=not args.no_phase2, out_dir=args.out_dir,
+            checkpoint_every=args.checkpoint_every, resume=args.resume)
+        print(json.dumps(results, indent=2, default=str))
+        return
+
     overrides = {}
     if args.iters is not None:
         from vae_connexe_tpu.configs import get_experiment
@@ -413,6 +445,21 @@ def main(argv=None):
                             "sp devices, hidden state handed over ICI "
                             "(long-decode configs; requires (context - "
                             "enc_len) divisible by sp and ep=1)")
+    p_run.add_argument("--processes", type=int, default=None, metavar="N",
+                       help="run the experiment as N cooperating "
+                            "multi-controller processes (jax.distributed) "
+                            "over ONE global mesh — phase 1 → GC handoff → "
+                            "phase 2, results equal to the single-process "
+                            "run; composes with --ep, --iters, "
+                            "--checkpoint-every and --resume (a killed "
+                            "worker set resumes at the last snapshot); "
+                            "crvae family")
+    p_run.add_argument("--devices-per-process", type=int, default=None,
+                       dest="devices_per_process", metavar="M",
+                       help="virtual CPU devices per worker for --processes "
+                            "(default 8 // N; on a real pod run one worker "
+                            "per host via python -m "
+                            "vae_connexe_tpu.parallel.multiprocess instead)")
     p_run.add_argument("--quiet", action="store_true")
     p_run.set_defaults(fn=_cmd_run)
 

@@ -106,15 +106,27 @@ class TrainCheckpointer:
         return int(marker.read_text().strip())
 
     def save(self, state: Any, metrics: dict) -> None:
+        """Snapshot ``state``.  Multi-controller safe: in a
+        ``jax.distributed`` run every process calls this with the same
+        (possibly cross-process-sharded) state — the orbax save is a
+        collective (each process writes the shards it owns) — then one
+        barrier, and only process 0 touches the metrics/LATEST marker and
+        prunes, so the shared checkpoint directory is never raced.
+        Assumes the multi-host convention of a shared filesystem."""
         step = int(state.step)
         self.dir.mkdir(parents=True, exist_ok=True)
         save_checkpoint(str(self.dir / f"state_{step}"), _encode_keys(state))
-        (self.dir / f"metrics_{step}.json").write_text(json.dumps(metrics))
-        tmp = self.dir / "LATEST.tmp"
-        tmp.write_text(str(step))
-        tmp.replace(self.dir / "LATEST")       # atomic on POSIX
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(
+                f"vcx_ckpt_{self.dir.name}_{step}")
+        if jax.process_index() == 0:
+            (self.dir / f"metrics_{step}.json").write_text(json.dumps(metrics))
+            tmp = self.dir / "LATEST.tmp"
+            tmp.write_text(str(step))
+            tmp.replace(self.dir / "LATEST")       # atomic on POSIX
+            self._prune(keep=step)
         self._last_saved = step
-        self._prune(keep=step)
 
     def maybe_save(self, state: Any, metrics: dict, final: bool) -> bool:
         step = int(state.step)
