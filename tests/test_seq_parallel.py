@@ -227,3 +227,85 @@ def test_long_chunk_uses_scan_path(eight_devices):
     o_sp, h_sp = seq_sharded_gru_heads(params, x, h0, mesh)
     np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_sp), atol=1e-4)
     np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_sp), atol=1e-4)
+
+
+@pytest.fixture
+def fused_interpret():
+    """Force the fused-kernel dispatch (interpret mode off-TPU) so the sp
+    pipeline's per-device compute exercises the Pallas path on CPU."""
+    from vae_connexe_tpu.ops import dispatch, pallas_gru
+
+    dispatch.set_fused(True)
+    pallas_gru.set_interpret(True)
+    yield
+    dispatch.set_fused(None)
+    pallas_gru.set_interpret(False)
+
+
+def test_sp_fused_chunks_match_single_device(eight_devices, fused_interpret):
+    """The sp pipeline's per-device compute routes through the FUSED Pallas
+    recurrence when the dispatch policy picks it (VERDICT round 4 item 3:
+    sp's perf story is the longhorizon config, where the single-chip win
+    comes from these kernels) — forward parity vs the lax reference."""
+    params, x, h0 = _mk(jax.random.key(7), b=8, t=16)
+    mesh = _sp_mesh(eight_devices, 4)
+    ref_outs, ref_ht = gru_scan_heads(params, x, h0)
+    outs, h_t = seq_sharded_gru_heads(params, x, h0, mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref_outs),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(ref_ht),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sp_fused_chunks_gradients_match(eight_devices, fused_interpret):
+    """Fused per-device chunks under shard_map: BACKWARD parity (the custom
+    VJP composes with the pipeline's ppermute chain)."""
+    params, x, h0 = _mk(jax.random.key(8), t=8, b=4)
+    mesh = _sp_mesh(eight_devices, 2)
+
+    def loss_ref(params, x, h0):
+        outs, h_t = gru_scan_heads(params, x, h0)
+        return jnp.sum(outs ** 2) + jnp.sum(jnp.sin(h_t))
+
+    def loss_sp(params, x, h0):
+        outs, h_t = seq_sharded_gru_heads(params, x, h0, mesh, microbatches=2)
+        return jnp.sum(outs ** 2) + jnp.sum(jnp.sin(h_t))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, x, h0)
+    g_sp = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(params, x, h0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-5),
+        g_ref, g_sp)
+
+
+def test_sp_fit_with_fused_chunks_matches_single_device(eight_devices,
+                                                        fused_interpret):
+    """sp as a TRAINING mode with the fused kernels active per device: a
+    longhorizon-shaped fit_phase1 over a (dp, ep=1, sp) mesh equals the
+    single-device fit (which routes through the same fused kernels under
+    the forced dispatch) — the mode now exercises the kernels it exists
+    to scale."""
+    from vae_connexe_tpu.data import arrange_input, lorenz96
+    from vae_connexe_tpu.models import CRVAE
+    from vae_connexe_tpu.parallel import make_mesh
+    from vae_connexe_tpu.train import Phase1Config, fit_phase1
+
+    p, enc_len, t_dec = 4, 6, 16
+    series = lorenz96(jax.random.key(0), p=p, t=200)
+    windows, _ = arrange_input(series, enc_len + t_dec)
+    model = CRVAE(p=p, hidden=12, enc_len=enc_len)
+    params = model.init(jax.random.key(1))
+    parents = jnp.ones((p, p), jnp.float32)
+    cfg = Phase1Config(max_iter=6, check_every=3, batch_size=8, lam=0.1)
+    key = jax.random.key(2)
+
+    mesh = make_mesh(n_dp=2, n_ep=1, n_sp=4)
+    best_sp, state_sp, m_sp = fit_phase1(model, params, windows, parents,
+                                         cfg, key, mesh=mesh)
+    best_1, state_1, m_1 = fit_phase1(model, params, windows, parents,
+                                      cfg, key)
+    np.testing.assert_allclose(m_sp["loss"], m_1["loss"], rtol=1e-4)
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         best_sp, best_1)
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs

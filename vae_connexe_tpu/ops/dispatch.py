@@ -102,7 +102,10 @@ def heads_recurrence(params: GRUParams, x, h0):
     the recurrence runs time-sharded over the mesh's sp axis instead —
     the sequence-parallel training mode; T must divide by the sp size
     (the pipeline raises a clear error rather than silently running
-    locally)."""
+    locally).  Per-device compute inside the pipeline applies THIS SAME
+    policy at the local chunk shape (T/sp): long local chunks ride the
+    fused Pallas kernels, short ones the unrolled XLA form
+    (``seq_parallel._chunk_recurrence`` dispatch)."""
     if _SP_CTX is not None:
         mesh, axis, batch_axis, m = _SP_CTX
         if mesh.shape[axis] > 1:

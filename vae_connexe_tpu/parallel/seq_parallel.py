@@ -23,6 +23,16 @@ Gate math, layouts, and results are identical to ``ops.gru.gru_scan_heads``
 ``tests/test_seq_parallel.py``).  Everything is static-shaped: the round
 schedule is a Python loop of length S+M-1 over masked ``dynamic_slice``
 selects, so the whole pipeline jit-compiles to one XLA program.
+
+Per-device compute follows the SAME kernel dispatch policy as the
+single-device path (``ops.dispatch.use_fused``): when a device's local time
+chunk exceeds ``UNROLL_MAX_T`` on TPU (the longhorizon regime sp exists to
+scale — RESULTS.md round 2/3: in-kernel-projection fused kernels took
+longhorizon 445 → 843 steps/s single-chip), each pipeline round runs the
+fused Pallas recurrence (``ops.pallas_gru.gru_scan_heads_fused``, custom-VJP
+trainable) on the raw microbatch x slice — the input projection happens
+in-kernel, so the (P, B, Tc, 3H) pre-projection is skipped on that path.
+Short chunks keep the unrolled straight-line XLA form.
 """
 
 from __future__ import annotations
@@ -129,14 +139,30 @@ def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
     bm = b // m
     rounds = n_sp + m - 1
 
+    tc_local = t_len // n_sp
+    # Per-device kernel dispatch — the single-device policy applied at the
+    # LOCAL chunk shape: fused Pallas recurrence for long chunks on TPU
+    # (the longhorizon regime sp exists to scale), unrolled/scan XLA
+    # otherwise.  Decided at trace time, uniform across devices (every
+    # device owns an identical-shape chunk).
+    from vae_connexe_tpu.ops.dispatch import use_fused
+    fused = use_fused(tc_local, n_heads=p_heads, batch=bm)
+
     def local(params, x_loc, h0_full):
         # x_loc: (B, Tc, D) — this device's time chunk; params/h0 replicated.
         s = jax.lax.axis_index(axis)
-        # Whole-chunk input projection: one MXU einsum for all heads/steps.
-        xp = (jnp.einsum("btd,pgd->pbtg", x_loc, params.w_ih)
-              + params.b_ih[:, None, None, :])           # (P, B, Tc, 3H)
-        tc = xp.shape[2]
-        xp = xp.reshape(p_heads, m, bm, tc, 3 * hidden)  # microbatched
+        tc = x_loc.shape[1]
+        if fused:
+            # Raw microbatch slices: the fused kernel projects x in-kernel
+            # (ops/pallas_gru.py), so the (P, B, Tc, 3H) pre-projection
+            # never materializes on this path.
+            x_mb_all = x_loc.reshape(m, bm, tc, x_loc.shape[-1])
+        else:
+            # Whole-chunk input projection: one MXU einsum for all
+            # heads/steps, shared across the pipeline rounds.
+            xp = (jnp.einsum("btd,pgd->pbtg", x_loc, params.w_ih)
+                  + params.b_ih[:, None, None, :])       # (P, B, Tc, 3H)
+            xp = xp.reshape(p_heads, m, bm, tc, 3 * hidden)  # microbatched
         h0_mb = h0_full.reshape(p_heads, m, bm, hidden)
 
         outs = jnp.zeros((p_heads, m, bm, tc, hidden), x_loc.dtype)
@@ -153,9 +179,16 @@ def seq_sharded_gru_heads(params: GRUParams, x: jax.Array, h0: jax.Array,
                              jax.lax.dynamic_index_in_dim(
                                  h0_mb, m_idx, axis=1, keepdims=False),
                              recv)
-            xp_mb = jax.lax.dynamic_index_in_dim(xp, m_idx, axis=1,
-                                                 keepdims=False)
-            outs_mb, h_out = _chunk_recurrence(params, xp_mb, h_in)
+            if fused:
+                from vae_connexe_tpu.ops.pallas_gru import gru_scan_heads_fused
+                x_mb = jax.lax.dynamic_index_in_dim(x_mb_all, m_idx, axis=0,
+                                                    keepdims=False)
+                outs_bt, h_out = gru_scan_heads_fused(params, x_mb, h_in)
+                outs_mb = outs_bt                        # (P, Bm, Tc, H)
+            else:
+                xp_mb = jax.lax.dynamic_index_in_dim(xp, m_idx, axis=1,
+                                                     keepdims=False)
+                outs_mb, h_out = _chunk_recurrence(params, xp_mb, h_in)
             outs = jnp.where(
                 valid,
                 jax.lax.dynamic_update_index_in_dim(

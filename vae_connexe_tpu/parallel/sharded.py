@@ -96,8 +96,11 @@ def check_sp_compat(mesh: Mesh, t_dec: int) -> None:
     if mesh.shape.get("ep", 1) > 1:
         raise ValueError(
             f"sp={n_sp} and ep={mesh.shape['ep']} cannot both exceed 1: the "
-            f"sp pipeline runs the decode with replicated head params; use "
-            f"ep for many-heads configs OR sp for long-decode configs")
+            f"sp pipeline runs the decode with replicated head params, which "
+            f"contradicts an ep-sharded head axis (documented won't-fix — "
+            f"the axes' natural domains are disjoint; see "
+            f"docs/parallelism.md 'sp × ep'); use ep for many-heads configs "
+            f"OR sp for long-decode configs")
     if t_dec % n_sp:
         raise ValueError(
             f"decode length {t_dec} (window length - enc_len) not divisible "
