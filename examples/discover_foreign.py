@@ -169,12 +169,18 @@ def main():
     ap.add_argument("--lam", type=float, default=0.1)
     ap.add_argument("--context", type=int, default=20)
     ap.add_argument("--generate", type=int, default=256)
+    ap.add_argument("--diff", action="store_true",
+                    help="run discovery on the DIFFERENCED series "
+                         "(discover --diff) — the structural lever for the "
+                         "Rössler hard case (smooth flow; see "
+                         "docs/causal-discovery.md); artifacts get a _diff "
+                         "suffix so the baseline rows stay comparable")
     ap.add_argument("--out-dir", default="results/discover_demo")
     args = ap.parse_args()
 
     out = pathlib.Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    name = args.system
+    name = args.system + ("_diff" if args.diff else "")
 
     # 1. The "user's data": a CSV the framework did not make.
     if args.system == "narma":
@@ -199,10 +205,12 @@ def main():
             "--out-dir", str(out)]
     if args.generate:
         argv += ["--generate", str(args.generate)]
+    if args.diff:
+        argv += ["--diff"]
     cli_main(argv)
 
     # 3. Scorecard: grade the truth-blind answer against the equations.
-    from vae_connexe_tpu.evals import gc_metrics
+    from vae_connexe_tpu.evals import gc_metrics, vote_confidence
     from vae_connexe_tpu.evals.viz import gc_heatmaps
 
     gc = np.load(out / f"GC_{name}.npy")
@@ -216,6 +224,9 @@ def main():
         "scores_auroc": float(gc_metrics(truth, scores)["auroc"]),
         "n_edges_true": int(truth.sum()),
         "n_edges_selected": int(gc.sum()),
+        # The truth-blind distrust signal the CLI reports/warns on —
+        # recorded next to the (truth-aware) grade for calibration.
+        "confidence": vote_confidence(votes),
     }
     np.save(out / f"truth_{name}.npy", truth)
     gc_heatmaps(truth, gc, str(out / f"truth_vs_selected_{name}.png"))

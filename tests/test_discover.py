@@ -285,3 +285,81 @@ class TestDiscoverCli:
         assert (out / "GC_votes_s.npy").exists()
         gen = np.load(out / "generated_s.npy")
         assert gen.shape[0] == 4 and np.isfinite(gen).all()
+
+
+def test_vote_confidence_pins_committed_artifacts():
+    """The confidence scale is calibrated by the two committed foreign-data
+    systems (results/discover_demo, round 4): NARMA — recovered at
+    votes-AUROC 0.989 — reads HIGH; the Rössler ring — 63 edges selected vs
+    24 true, every seed agreeing on a dense graph — reads LOW.  The failure
+    mode is confidently-dense agreement, which is why the signal is the
+    ruled-OUT candidate mass, not the vote-spectrum gap (the gap is higher
+    on Rössler)."""
+    import pathlib
+
+    from vae_connexe_tpu.evals import vote_confidence
+
+    demo = pathlib.Path(__file__).parent.parent / "results" / "discover_demo"
+    narma = np.load(demo / "GC_votes_narma.npy")
+    rossler = np.load(demo / "GC_votes_rossler.npy")
+    assert vote_confidence(narma) >= 0.7
+    assert vote_confidence(rossler) <= 0.3
+
+
+def test_discover_confidence_field():
+    """seeds > 1 fills DiscoveryResult.confidence with the ruled-out
+    candidate fraction; a single-seed run has no ensemble, hence None."""
+    a = var_truth(4)
+    series = np.asarray(var_process(jax.random.key(0), a, n=1, t=400))[0]
+    res = discover(series, context=10, hidden=12, max_iter=40,
+                   batch_size=32, seeds=4)
+    assert res.confidence is not None and 0.0 <= res.confidence <= 1.0
+    res1 = discover(series, context=10, hidden=12, max_iter=40,
+                    batch_size=32, seeds=1)
+    assert res1.confidence is None
+
+
+def test_discover_diff_preprocessing():
+    """diff=True first-differences along time before standardizing — the
+    structural lever for smooth flows — and equals discovery on a manually
+    differenced series (same keys)."""
+    a = var_truth(4)
+    series = np.asarray(var_process(jax.random.key(1), a, n=1, t=400))[0]
+    res_d = discover(series, context=10, hidden=12, max_iter=30,
+                     batch_size=32, diff=True)
+    res_m = discover(np.diff(series, axis=0), context=10, hidden=12,
+                     max_iter=30, batch_size=32)
+    np.testing.assert_allclose(res_d.scores, res_m.scores, rtol=1e-6)
+    np.testing.assert_array_equal(res_d.gc, res_m.gc)
+
+
+def test_cli_discover_warns_on_low_confidence(tmp_path, capsys, monkeypatch):
+    """cli discover prints the distrust warning (stderr) when the ensemble
+    confidence is low, and includes confidence in the JSON summary — the
+    Rössler failure reaches users as a warning, not a confident graph."""
+    import json as _json
+
+    import sys as _sys
+
+    from vae_connexe_tpu import cli
+    # the package __init__ rebinds the attribute `vae_connexe_tpu.discover`
+    # to the function; fetch the module itself
+    discover_mod = _sys.modules["vae_connexe_tpu.discover"]
+
+    p = 4
+    rng = np.random.default_rng(0)
+    csv = tmp_path / "dense.csv"
+    np.savetxt(csv, rng.standard_normal((64, p)).astype(np.float32),
+               delimiter=",")
+
+    fake = discover_mod.DiscoveryResult(
+        scores=np.ones((p, p), np.float32),
+        gc=np.ones((p, p), np.int32), threshold=0.9,
+        votes=np.ones((p, p), np.float32), seed_scores=None, params=None,
+        model=None, names=None, metrics={}, confidence=0.2)
+    monkeypatch.setattr(discover_mod, "discover", lambda *a, **k: fake)
+    cli.main(["discover", str(csv), "--seeds", "4", "--quiet"])
+    out = capsys.readouterr()
+    assert "WARNING: low discovery confidence" in out.err
+    assert "--diff" in out.err
+    assert _json.loads(out.out)["confidence"] == 0.2

@@ -169,7 +169,7 @@ def _cmd_discover(args):
                    lam=args.lam, lr=args.lr, max_iter=args.iters,
                    batch_size=args.batch, seeds=args.seeds, seed=args.seed,
                    threshold=threshold, min_frac=min_frac,
-                   standardize=not args.no_standardize,
+                   standardize=not args.no_standardize, diff=args.diff,
                    family=args.family, prox=args.prox, latent=args.latent,
                    generate=args.generate, phase2_iters=args.phase2_iters,
                    names=names, mesh=mesh, verbose=not args.quiet,
@@ -182,11 +182,24 @@ def _cmd_discover(args):
         "family": args.family,
         "seeds": args.seeds,
         "threshold": res.threshold,
+        "confidence": res.confidence,
         "n_edges": int(res.gc.sum()),
         "edges": [{"cause": c, "effect": e, "score": s}
                   for c, e, s in res.edges()],
         "metrics": res.metrics,
     }
+    if res.confidence is not None and res.confidence < 0.5:
+        p_vars = res.gc.shape[0]
+        off = int(res.gc.sum()) - int(res.gc.diagonal().sum())
+        print(f"WARNING: low discovery confidence "
+              f"({res.confidence:.2f} < 0.5) — the seed ensemble rules out "
+              f"only {100 * res.confidence:.0f}% of candidate edges "
+              f"({off}/{p_vars * (p_vars - 1)} off-diagonal edges selected). "
+              f"Either the system is genuinely dense or the lag-window "
+              f"estimator cannot discriminate (typical for smooth, densely "
+              f"sampled flows). Treat the graph as exploratory; try --diff "
+              f"(differenced series), a larger --lam, or a longer "
+              f"--context.", file=sys.stderr)
     if args.out_dir:
         out = pathlib.Path(args.out_dir)
         out.mkdir(parents=True, exist_ok=True)
@@ -519,6 +532,12 @@ def main(argv=None):
     p_d.add_argument("--no-standardize", action="store_true",
                      dest="no_standardize",
                      help="skip per-variable z-scoring of the input")
+    p_d.add_argument("--diff", action="store_true",
+                     help="first-difference the series along time before "
+                          "standardizing (discrete-derivative proxy) — the "
+                          "structural lever for smooth densely-sampled "
+                          "flows where discovery reads confidently dense "
+                          "(low confidence warning)")
     p_d.add_argument("--generate", type=int, default=0, metavar="BATCH",
                      help="also train phase 2 on the selected graph and "
                           "sample BATCH synthetic rollouts")

@@ -53,6 +53,13 @@ class DiscoveryResult:
     metrics: dict                      # final training metrics
     samples: Optional[np.ndarray] = None   # (B, rollout_len, p), generate > 0
     err_params: object = None          # trained ErrorVAE params, generate > 0
+    # Discovery-confidence signal (seeds > 1 only): the fraction of
+    # candidate edges the seed ensemble confidently rules out
+    # (``evals.vote_confidence``).  High (≥ 0.5) on systems the estimator
+    # resolves (NARMA 0.76); LOW when the ensemble agrees on a dense graph
+    # it cannot discriminate (Rössler 0.25 — the committed hard case,
+    # ``results/discover_demo/``): treat the graph as exploratory.
+    confidence: Optional[float] = None
 
     def edges(self, min_score: float = 0.0):
         """Selected edges as (cause, effect, score) triples, strongest first;
@@ -85,6 +92,7 @@ def discover(series, *, context: int = 20, hidden: int = 64,
              threshold: float | str = "auto",
              min_frac: float | str = "auto",
              standardize: bool = True,
+             diff: bool = False,
              latent_reg: str = "kl",
              family: str = "crvae",
              prox: Optional[str] = None,
@@ -113,6 +121,13 @@ def discover(series, *, context: int = 20, hidden: int = 64,
         "auto" (largest vote-spectrum gap, clamped to [0.5, 0.95]).
       standardize: z-score each variable over time first (the reference
         standardizes inside every generator, ``CRVAE_lorenz96.py:718-721``).
+      diff: first-difference the series along time before standardizing —
+        a discrete-derivative proxy, the standard structural lever for
+        SMOOTH slow-fast flows (e.g. densely sampled ODE systems) where
+        every variable predicts every other and lag-window Granger
+        discovery reads confidently dense (the committed Rössler hard
+        case); differencing whitens the slow common drift so the penalty
+        can discriminate.  Costs one time step per realization.
       family: causal parameterization — ``"crvae"`` (the flagship author
         variant: GRU input-weight **column** groups) or ``"win"`` (the
         explicit per-head W_in matrix, the reference's two re-implementation
@@ -144,7 +159,8 @@ def discover(series, *, context: int = 20, hidden: int = 64,
             "prox= selects the win family's group convention; the crvae "
             "family is always column-grouped (author_CRVAE.py:314) — pass "
             "family='win' to use row/element groups")
-    from vae_connexe_tpu.evals import auto_threshold, stability_selection
+    from vae_connexe_tpu.evals import (auto_threshold, stability_selection,
+                                       vote_confidence)
     from vae_connexe_tpu.models import CRVAE
     from vae_connexe_tpu.train import Phase1Config, fit_phase1
     from vae_connexe_tpu.utils.scalers import standardize as _standardize
@@ -155,6 +171,8 @@ def discover(series, *, context: int = 20, hidden: int = 64,
     if series.ndim not in (2, 3):
         raise ValueError(f"series must be (T, p) or (N, T, p), got {series.shape}")
     t_axis = 0 if series.ndim == 2 else 1
+    if diff:
+        series = jnp.diff(series, axis=t_axis)
     if series.shape[t_axis] <= context + 1:
         raise ValueError(
             f"series has {series.shape[t_axis]} time steps but context={context} "
@@ -230,7 +248,8 @@ def discover(series, *, context: int = 20, hidden: int = 64,
     result = DiscoveryResult(
         scores=np.asarray(scores), gc=gc, threshold=float(thr), votes=votes,
         seed_scores=seed_scores, params=best, model=model, names=names,
-        metrics={k: float(v) for k, v in metrics.items()})
+        metrics={k: float(v) for k, v in metrics.items()},
+        confidence=(vote_confidence(votes) if votes is not None else None))
 
     if generate > 0:
         from vae_connexe_tpu.models import ErrorVAE
@@ -282,7 +301,8 @@ def _discover_win(series, *, names, tau, hidden, latent, lam, lr, prox,
     axis over dp.
     """
     from vae_connexe_tpu.data import sliding_windows
-    from vae_connexe_tpu.evals import auto_threshold, stability_selection
+    from vae_connexe_tpu.evals import (auto_threshold, stability_selection,
+                                       vote_confidence)
     from vae_connexe_tpu.models import WInCRVAE
     from vae_connexe_tpu.train import WInTrainConfig, WInTrainer
 
@@ -337,7 +357,8 @@ def _discover_win(series, *, names, tau, hidden, latent, lam, lr, prox,
     result = DiscoveryResult(
         scores=np.asarray(scores), gc=gc, threshold=float(thr), votes=votes,
         seed_scores=seed_scores, params=params, model=model, names=names,
-        metrics={k: float(v) for k, v in metrics.items()})
+        metrics={k: float(v) for k, v in metrics.items()},
+        confidence=(vote_confidence(votes) if votes is not None else None))
 
     if generate > 0:
         # Condition the autoregressive rollout on real context windows (the

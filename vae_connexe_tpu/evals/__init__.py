@@ -4,6 +4,7 @@ from vae_connexe_tpu.evals.gc_metrics import (
     auroc,
     auto_threshold,
     stability_selection,
+    vote_confidence,
     gc_accuracy,
     gc_metrics,
     precision_recall_f1,
@@ -16,6 +17,7 @@ __all__ = [
     "auroc",
     "auto_threshold",
     "stability_selection",
+    "vote_confidence",
     "gc_accuracy",
     "gc_metrics",
     "moment_match",

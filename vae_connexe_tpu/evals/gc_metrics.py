@@ -169,6 +169,40 @@ def stability_selection(score_stack: jax.Array,
     return votes, (votes >= min_frac).astype(jnp.int32), float(min_frac)
 
 
+def vote_confidence(votes: jax.Array, exclude_diagonal: bool = True,
+                    low: float = 0.25) -> float:
+    """Discovery-confidence signal from a stability-selection vote matrix:
+    the fraction of candidate edges the seed ensemble confidently RULES OUT
+    (vote ≤ ``low``; diagonal self-loops excluded by default).
+
+    Sparse Granger discovery is informative exactly when the ensemble can
+    reject most candidate edges; when it cannot, the selected graph should
+    not be trusted as structure.  The two committed foreign-data systems
+    calibrate the scale (``results/discover_demo/``, round 4): the NARMA
+    network — recovered at votes-AUROC 0.989 — rules out 76% of off-diagonal
+    candidates (confidence 0.76), while the Rössler ring — the committed
+    hard case, 63 edges selected vs 24 true — votes 63% of candidates in at
+    vote 1.0 and rules out only 25% (confidence 0.25).  Note the failure is
+    *confidently dense* agreement, not vote spread — which is why the signal
+    is rejected-mass, not the vote-spectrum gap (the gap statistic reads
+    HIGHER on Rössler than on NARMA).
+
+    Low confidence (< 0.5) means: the system is either genuinely dense or —
+    as for smooth slow-fast flows at coarse sampling, where every variable
+    helps predict every other — the lag-window estimator cannot
+    discriminate; treat the graph as exploratory (``cli discover`` warns).
+    Mitigations worth trying: differenced series (``discover(diff=True)`` /
+    ``--diff`` — the standard derivative trick for smooth flows), a larger
+    ``lam``, or a longer ``context``.
+    """
+    import numpy as np
+
+    vals = np.asarray(votes)
+    if exclude_diagonal and vals.ndim == 2 and vals.shape[0] == vals.shape[1]:
+        vals = vals[~np.eye(vals.shape[0], dtype=bool)]
+    return float((vals <= low).mean())
+
+
 def auto_vote_threshold(votes: jax.Array,
                         exclude_diagonal: bool = False) -> float:
     """The ``min_frac="auto"`` rule: midpoint of the largest gap in the
