@@ -161,6 +161,39 @@ def test_meshed_kill_resume(setup, tmp_path, eight_devices):
     assert _max_diff(state_u.params, state_r.params) == 0.0
 
 
+def test_sp_meshed_kill_resume(tmp_path, eight_devices):
+    """Resume composes with sequence parallelism (VERDICT r4 item 7): a fit
+    on a (dp=2, sp=4) mesh killed mid-phase and resumed equals the
+    uninterrupted sp fit bitwise — same meshed program on both sides of the
+    kill, so preempting an sp pod costs only the un-checkpointed chunks."""
+    from vae_connexe_tpu.parallel import make_mesh
+
+    ctx = 42                     # decode length 32: divisible by sp=4
+    series = lorenz96(jax.random.key(0), p=P, t=300)
+    windows, _ = arrange_input(series, ctx)
+    model = CRVAE(p=P, hidden=12)
+    params = model.init(jax.random.key(1))
+    parents = jnp.ones((P, P), jnp.float32)
+    mesh = make_mesh(n_dp=2, n_ep=1, n_sp=4)
+    cfg = Phase1Config(max_iter=16, check_every=4, batch_size=8, lam=0.1)
+    key = jax.random.key(9)
+
+    best_u, state_u, m_u = fit_phase1(model, params, windows, parents, cfg,
+                                      key, mesh=mesh)
+    ck = str(tmp_path / "sp")
+    with pytest.raises(_Kill):
+        fit_phase1(model, params, windows, parents, cfg, key, mesh=mesh,
+                   checkpoint_dir=ck, checkpoint_every=8,
+                   callback=_killer(8))
+    best_r, state_r, m_r = fit_phase1(model, params, windows, parents, cfg,
+                                      key, mesh=mesh, checkpoint_dir=ck,
+                                      checkpoint_every=8, resume=True)
+    assert int(state_r.step) == cfg.max_iter
+    assert _max_diff(best_u, best_r) == 0.0
+    assert _max_diff(state_u.params, state_r.params) == 0.0
+    assert m_u == m_r
+
+
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
 def test_streaming_kill_resume(setup, tmp_path):
     from vae_connexe_tpu.data.native_loader import NativeWindowLoader
